@@ -1,0 +1,138 @@
+"""Baumberg affine-shape adaptation — masked fixed-iteration vmap.
+
+Reimplements reference detectors/affinedetectors/affine.cpp:26-158
+(findAffineShape, SMM method) with the per-keypoint convergence loop
+re-cast as a fixed maxIterations scan with accept/reject masking, so the
+whole batch runs as one fused TPU program.  The accept/reject decisions
+follow the reference exactly:
+
+ - SMM of gradients on the 19x19 window warped by u*ratio, weighted by
+   the separable Gauss mask (helpers.cpp:411-440)
+ - u <- invsqrt(SMM) . u   (helpers.cpp:463-502 invSqrt, det == 1)
+ - reject on NaN, eigenvalue failure, anisotropy > 6
+ - accept when two consecutive isotropy deviations < convergenceThreshold
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AffineShapeParams
+from ..ops import image as imops
+
+
+def inv_sqrt_2x2(a, b, c):
+    """Inverse square root of SPD [[a,b],[b,c]], normalized to det 1.
+
+    Exact port of reference helpers.cpp:463-502 invSqrt.
+    Returns (a', b', c', l1, l2) with l1 >= l2 eigenvalues of the result
+    BEFORE normalization... (as in reference: x, z after division by d).
+    """
+    r_ = jnp.where(b != 0.0,
+                   (c - a) / (2.0 * b),
+                   jnp.ones_like(a))
+    t_mag = 1.0 / (jnp.abs(r_) + jnp.sqrt(1.0 + r_ * r_))
+    t = jnp.where(b != 0.0, jnp.sign(r_) * t_mag + (r_ == 0) * t_mag * 0, t_mag * 0)
+    # r>=0 -> t = 1/(r+sqrt(1+r^2)); r<0 -> t = -1/(-r+sqrt(1+r^2))
+    t = jnp.where(b != 0.0,
+                  jnp.where(r_ >= 0, 1.0 / (r_ + jnp.sqrt(1 + r_ * r_)),
+                            -1.0 / (-r_ + jnp.sqrt(1 + r_ * r_))),
+                  0.0)
+    rr = jnp.where(b != 0.0, 1.0 / jnp.sqrt(1 + t * t), 1.0)
+    tt = t * rr
+    x = 1.0 / jnp.sqrt(rr * rr * a - 2 * rr * tt * b + tt * tt * c)
+    z = 1.0 / jnp.sqrt(tt * tt * a + 2 * rr * tt * b + rr * rr * c)
+    d = jnp.sqrt(x * z)
+    x = x / d
+    z = z / d
+    l1 = jnp.maximum(x, z)
+    l2 = jnp.minimum(x, z)
+    na = rr * rr * x + tt * tt * z
+    nb = -rr * tt * x + tt * rr * z
+    nc = tt * tt * x + rr * rr * z
+    return na, nb, nc, l1, l2
+
+
+def eigenvalues_2x2(a, b, c, d):
+    """reference helpers.cpp:504-515 getEigenvalues. Returns (ok, l1, l2)."""
+    trace = a + d
+    delta1 = trace * trace - 4 * (a * d - b * c)
+    ok = delta1 >= 0
+    delta = jnp.sqrt(jnp.maximum(delta1, 0.0))
+    return ok, (trace + delta) / 2.0, (trace - delta) / 2.0
+
+
+def rectify_up_is_up(A: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular det-1 form (reference helpers.cpp:380-389)."""
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = jnp.sqrt(jnp.abs(a * d - b * c))
+    b2a2 = jnp.sqrt(b * b + a * a)
+    n11 = b2a2 / det
+    n12 = jnp.zeros_like(a)
+    n21 = (d * b + c * a) / (b2a2 * det)
+    n22 = det / b2a2
+    return jnp.stack([jnp.stack([n11, n12], -1),
+                      jnp.stack([n21, n22], -1)], -2)
+
+
+def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
+                   lx: jnp.ndarray, ly: jnp.ndarray, ratio: jnp.ndarray,
+                   valid: jnp.ndarray, par: AffineShapeParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run Baumberg on a padded batch of keypoints of ONE octave.
+
+    blurs: [L,H,W] octave blur stack; per-kp blur level index `lev`
+    (the reference hands the detector's prevBlur — one level below the
+    response peak — to findAffineShape; see pyramid.cpp:402 + 480).
+    lx, ly: keypoint position in octave pixels; ratio = s/(initSigma*pixDist).
+
+    Returns (U [N,2,2], ok [N]) where U has det == 1.
+    """
+    ws = par.smmWindowSize
+    mask = jnp.asarray(imops.gauss_mask(ws))
+    n_mask = float(ws * ws)
+    max_iter = par.maxIterations
+    conv = par.convergenceThreshold
+
+    def one(lev_i, x, y, rat, valid_i):
+        def body(state, _):
+            u, ratio_bef, done, ok, out_u = state
+            A = u * rat
+            img = imops.affine_sample(blurs[lev_i], x, y, A, ws, ws)
+            fx, fy = imops.compute_gradient(img)
+            a = jnp.sum(fx * fx * mask) / n_mask
+            b = jnp.sum(fx * fy * mask) / n_mask
+            c = jnp.sum(fy * fy * mask) / n_mask
+            na, nb, nc, l1, l2 = inv_sqrt_2x2(a, b, c)
+            nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
+            ratio_act = 1.0 - l2 / l1
+            M = jnp.array([[na, nb], [nb, nc]])
+            u_new = M @ u
+            eok, e1, e2 = eigenvalues_2x2(u_new[0, 0], u_new[0, 1],
+                                          u_new[1, 0], u_new[1, 1])
+            aniso_bad = (~eok) | (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
+            converged = (ratio_act < conv) & (ratio_bef < conv)
+            # ordering per reference: nan -> reject (before update);
+            # then update; then eigen/aniso -> reject; then convergence.
+            accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
+            reject_now = (~done) & (nan_bad | aniso_bad)
+            out_u = jnp.where(accept_now, u_new, out_u)
+            ok = ok | accept_now
+            done = done | accept_now | reject_now
+            u = jnp.where(done, u, u_new)
+            ratio_bef = jnp.where(done, ratio_bef, ratio_act)
+            return (u, ratio_bef, done, ok, out_u), None
+
+        u0 = jnp.eye(2, dtype=jnp.float32)
+        init = (u0, jnp.float32(0.0), ~valid_i, jnp.zeros((), bool), u0)
+        (u, _, done, ok, out_u), _ = jax.lax.scan(body, init, None, length=max_iter)
+        return out_u, ok & valid_i
+
+    if not par.doBaumberg:
+        n = lx.shape[0]
+        return jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1)), valid
+    U, ok = jax.vmap(one)(lev, lx, ly, ratio, valid)
+    return U, ok

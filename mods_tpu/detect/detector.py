@@ -1,0 +1,143 @@
+"""Hessian-Affine / DoG / Harris detector driver.
+
+Equivalent of reference DetectAffineKeypoints (scale-space-detector.cpp:13-32)
++ detectPyramidKeypoints (pyramid.cpp:496-529): host loop over octaves
+(shapes shrink geometrically, static per trace), all per-octave work on
+device.  Output is a padded `Keypoints` SoA sorted by |response| like the
+reference's prepareKeysForExport (scale-space-detector.hpp:126-198).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ScaleSpaceDetectorParams
+from ..ops import image as imops
+from ..types import Keypoints
+from . import pyramid as pyr
+from .affine_shape import baumberg_batch, rectify_up_is_up
+
+
+def _detect_octave(first_level: jnp.ndarray, par: ScaleSpaceDetectorParams,
+                   init_sigma: float, pixel_distance: float, max_cands: int):
+    """One octave: responses -> extrema -> localization -> Baumberg.
+
+    Returns (kp dict in GLOBAL coords, next_first_level, n_extrema).
+    """
+    blurs, resp, sigmas, next_first = pyr.build_octave(
+        first_level, par.pyramid, init_sigma)
+    lev, r0, c0, cand_valid, n_ext = pyr.find_extrema(resp, par.pyramid, max_cands)
+    okp, rF, cF = pyr.localize(resp, blurs, lev, r0, c0, cand_valid,
+                               par.pyramid, sigmas)
+    valid = pyr.dedup_octave_map(rF, cF, okp.valid, resp.shape[-1])
+
+    # Baumberg on prevBlur (= blurs[level-1]); reference pyramid.cpp:402
+    lx = okp.rc[:, 1]
+    ly = okp.rc[:, 0]
+    ratio = okp.scale / par.affine.initialSigma
+    U, ok = baumberg_batch(blurs, okp.level - 1, lx, ly, ratio, valid,
+                           par.affine)
+    # global coordinates (pyramid.cpp:402: pixelDistance * (c+b0) etc.)
+    s_glob = okp.scale * pixel_distance
+    det = jnp.sqrt(jnp.abs(U[:, 0, 0] * U[:, 1, 1] - U[:, 0, 1] * U[:, 1, 0]))
+    s_out = s_glob * det            # scale-space-detector.cpp: s *= sqrt|det A|
+    A_out = rectify_up_is_up(U)     # rectifyTransformation
+    kp = Keypoints(
+        xy=jnp.stack([lx, ly], -1) * pixel_distance,
+        A=A_out,
+        s=s_out,
+        response=okp.response,
+        valid=ok,
+    )
+    return kp, next_first, n_ext
+
+
+def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
+                     max_kp: int = 8192, max_octave_cands: int = 4096,
+                     tilt: float = 1.0, zoom: float = 1.0) -> Keypoints:
+    """Full multi-octave detection.  img: [H,W] float32 0..255.
+
+    tilt/zoom implement the synthesized-view region-count rescale
+    (scale-space-detector.cpp:20-21) for reg-number modes.
+    """
+    py = par.pyramid
+    cur_sigma = 0.5
+    pixel_distance = 1.0
+    first = img
+    if py.upscaleInputImage > 0:
+        first = imops.double_image(img)
+        pixel_distance *= 0.5
+        cur_sigma *= 2.0
+    if py.initialSigma > cur_sigma:
+        sigma = math.sqrt(py.initialSigma ** 2 - cur_sigma ** 2)
+        first = imops.gaussian_blur(first, sigma)
+
+    min_size = 2 * py.border + 2
+    per_octave: List[Keypoints] = []
+    while first.shape[-2] > min_size and first.shape[-1] > min_size:
+        kp, first, _ = _detect_octave(first, par, py.initialSigma,
+                                      pixel_distance, max_octave_cands)
+        per_octave.append(kp)
+        pixel_distance *= 2.0
+
+    n_tot = sum(k.n for k in per_octave)
+    allkp = Keypoints(
+        xy=jnp.concatenate([k.xy for k in per_octave]),
+        A=jnp.concatenate([k.A for k in per_octave]),
+        s=jnp.concatenate([k.s for k in per_octave]),
+        response=jnp.concatenate([k.response for k in per_octave]),
+        valid=jnp.concatenate([k.valid for k in per_octave]),
+    )
+    return _select_and_sort(allkp, par, max_kp, tilt, zoom)
+
+
+@partial(jax.jit, static_argnames=("max_kp", "mode", "do_baumberg"))
+def _select_sort_jit(kp: Keypoints, max_kp: int, mode: str, threshold: float,
+                     rel_threshold: float, reg_number: int,
+                     rel_reg_number: float, do_baumberg: bool) -> Keypoints:
+    """prepareKeysForExport (scale-space-detector.hpp:126-198): sort by
+    |response| desc; apply the detection-mode cut."""
+    n = kp.n
+    mag = jnp.where(kp.valid, jnp.abs(kp.response), -1.0)
+    k = min(max_kp, n)
+    vals, idx = jax.lax.top_k(mag, k)
+    out = kp.take(idx, extra_valid=vals >= 0.0)
+    if mode == "FixedTh":
+        return out
+    count = jnp.sum(out.valid)
+    rank = jnp.arange(k)
+    if mode == "RelativeTh":
+        th = vals[0] * rel_threshold
+        keep = jnp.abs(out.response) >= th
+    elif mode == "FixedRegNumber":
+        lim = reg_number * 3 if do_baumberg else reg_number
+        keep = rank < lim
+    elif mode == "RelativeRegNumber":
+        keep = rank < jnp.floor(rel_reg_number * count).astype(jnp.int32)
+    elif mode == "NotLessThanRegions":
+        above = jnp.sum(jnp.abs(out.response) >= threshold)
+        lim = jnp.maximum(above, reg_number)
+        keep = rank < lim
+    else:
+        keep = jnp.ones(k, bool)
+    out = Keypoints(out.xy, out.A, out.s, out.response, out.valid & keep)
+    if mode == "FixedRegNumber":
+        keep2 = rank < reg_number
+        out = Keypoints(out.xy, out.A, out.s, out.response, out.valid & keep2)
+    return out
+
+
+def _select_and_sort(kp: Keypoints, par: ScaleSpaceDetectorParams,
+                     max_kp: int, tilt: float, zoom: float) -> Keypoints:
+    py = par.pyramid
+    reg_number = py.reg_number
+    if (tilt > 2.0) or (zoom < 0.5):
+        reg_number = int(math.floor(zoom * reg_number / tilt))
+    return _select_sort_jit(kp, max_kp, py.detector_mode, py.threshold,
+                            py.rel_threshold, reg_number, py.rel_reg_number,
+                            bool(par.affine.doBaumberg))

@@ -1,0 +1,256 @@
+"""Scale-space detector (Hessian / DoG / Harris) — TPU-native.
+
+Reimplements reference detectors/affinedetectors/pyramid.cpp as batched
+array ops: per-octave response stacks, 3x3x3 NMS as max-pooling, and the
+5-iteration subpixel localizer (pyramid.cpp:281-403) as a vectorized
+masked loop over a padded candidate set.  The per-octave Python loop is
+host-side (octave shapes shrink geometrically and are static per trace).
+
+Numerics follow the reference exactly:
+ - response: det of 3x3-difference Hessian * sigma^4 (pyramid.cpp:196-254)
+ - NMS gate +-0.8*threshold, final |val| >= threshold^2 for Hessian
+   (pyramid.h:46-66)
+ - edge rejection (ratio+1)^2/ratio on first iteration (pyramid.cpp:317-323)
+ - MAX_SUBPIXEL_SHIFT = 0.6, POINT_SAFETY_BORDER = 3, octaveMap dedup
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PyramidParams
+from ..ops import image as imops
+
+
+class OctaveKeypoints(NamedTuple):
+    """Per-octave padded localization output (octave coordinates)."""
+    rc: jnp.ndarray        # [K,2] float32 final (row, col) + subpixel offset
+    level: jnp.ndarray     # [K] int32 response level index (1..numberOfScales)
+    scale: jnp.ndarray     # [K] float32 sigma in octave pixels
+    response: jnp.ndarray  # [K]
+    valid: jnp.ndarray     # [K] bool
+
+
+def hessian_response(img: jnp.ndarray, norm: float | jnp.ndarray) -> jnp.ndarray:
+    """det(Hessian) * norm^2 via 3x3 differences (pyramid.cpp:196-254).
+    Border ring is zero (reference leaves it unwritten and never reads it)."""
+    # shifts: img[r+dr, c+dc]
+    c = img[..., 1:-1, 1:-1]
+    Lxx = img[..., 1:-1, :-2] - 2.0 * c + img[..., 1:-1, 2:]
+    Lyy = img[..., :-2, 1:-1] - 2.0 * c + img[..., 2:, 1:-1]
+    Lxy = (img[..., :-2, 2:] - img[..., :-2, :-2] +
+           img[..., 2:, :-2] - img[..., 2:, 2:]) / 4.0
+    resp = (Lxx * Lyy - Lxy * Lxy) * (norm * norm)
+    return jnp.pad(resp, [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)])
+
+
+def dog_response(img: jnp.ndarray, sigma_extra: float) -> jnp.ndarray:
+    """img - blur(img) (pyramid.cpp:165-170)."""
+    return img - imops.gaussian_blur(img, sigma_extra)
+
+
+def harris_response(img: jnp.ndarray, norm: float) -> jnp.ndarray:
+    """Harris cornerness (pyramid.cpp:256-278)."""
+    sigmasq = 0.6 * norm
+    sigma = math.sqrt(sigmasq)
+    gx, gy = imops.compute_gradient(img)
+    dx2 = sigmasq * imops.gaussian_blur(gx * gx, sigma)
+    dy2 = sigmasq * imops.gaussian_blur(gy * gy, sigma)
+    dxy = sigmasq * imops.gaussian_blur(gx * gy, sigma)
+    tr = dx2 + dy2
+    return dx2 * dy2 - dxy * dxy - 0.04 * tr * tr
+
+
+def build_octave(first_level: jnp.ndarray, par: PyramidParams,
+                 init_sigma: float) -> Tuple[jnp.ndarray, jnp.ndarray, List[float], jnp.ndarray]:
+    """Blur stack + response stack for one octave.
+
+    reference: pyramid.cpp:428-494 detectOctaveKeypoints.
+    Returns (blurs [S+2,H,W], responses [S+2,H,W], sigmas, next_first_level).
+    """
+    S = par.numberOfScales
+    sigma_step = 2.0 ** (1.0 / S)
+    blurs = [first_level]
+    sigmas = [init_sigma]
+    cur_sigma = init_sigma
+    for i in range(1, S + 2):
+        inc = cur_sigma * math.sqrt(sigma_step * sigma_step - 1.0)
+        blurs.append(imops.gaussian_blur(blurs[-1], inc))
+        cur_sigma *= sigma_step
+        sigmas.append(cur_sigma)
+    next_first = imops.half_image(blurs[S])
+    blur_stack = jnp.stack(blurs)
+    if par.detector_type == "Hessian":
+        norms = jnp.asarray(sigmas, jnp.float32)[:, None, None] ** 2
+        resp = hessian_response(blur_stack, norms)
+    elif par.detector_type == "DoG":
+        # response level i = blurs[i] - blur(blurs[i], step-increment)
+        resp = jnp.stack([
+            blurs[i] - (blurs[i + 1] if i + 1 < len(blurs)
+                        else imops.gaussian_blur(blurs[i], sigmas[i] * math.sqrt(sigma_step ** 2 - 1)))
+            for i in range(len(blurs))])
+    elif par.detector_type == "Harris":
+        resp = jnp.stack([harris_response(blurs[i], sigmas[i] ** 2)
+                          for i in range(len(blurs))])
+    else:
+        raise ValueError(par.detector_type)
+    return blur_stack, resp, sigmas, next_first
+
+
+def _maxpool3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(max, min) over the 3x3x3 neighborhood of a [L,H,W] stack."""
+    mx = x
+    mn = x
+    for axis in (-1, -2, -3):
+        a = jnp.roll(mx, 1, axis)
+        b = jnp.roll(mx, -1, axis)
+        mx = jnp.maximum(jnp.maximum(a, b), mx)
+        a = jnp.roll(mn, 1, axis)
+        b = jnp.roll(mn, -1, axis)
+        mn = jnp.minimum(jnp.minimum(a, b), mn)
+    return mx, mn
+
+
+def find_extrema(resp: jnp.ndarray, par: PyramidParams, max_cands: int):
+    """3x3x3 NMS over middle levels -> top-|response| candidate list.
+
+    reference: pyramid.cpp:405-425 findLevelKeypoints (val > 0.8*th and
+    3-level max, or < -0.8*th and min).  Returns padded [K] candidate
+    (level, r, c) plus count of suppressed-by-cap extrema.
+    """
+    L, H, W = resp.shape
+    if par.detector_mode == "FixedTh":
+        pos_th = 0.8 * par.threshold
+    else:
+        pos_th = 0.0
+    mx, mn = _maxpool3(resp)
+    mid = resp[1:L - 1]
+    is_ext = (((mid > pos_th) & (mid >= mx[1:L - 1])) |
+              ((mid < -pos_th) & (mid <= mn[1:L - 1])))
+    # border mask (reference scans r,c in [border, dim-border))
+    b = par.border
+    row_ok = (jnp.arange(H) >= b) & (jnp.arange(H) < H - b)
+    col_ok = (jnp.arange(W) >= b) & (jnp.arange(W) < W - b)
+    is_ext = is_ext & row_ok[None, :, None] & col_ok[None, None, :]
+
+    flat = jnp.abs(jnp.where(is_ext, mid, 0.0)).reshape(-1)
+    k = min(max_cands, flat.shape[0])
+    # natural scan order = (level, r, c); top_k on tie returns first index,
+    # then we re-sort selected candidates by flat index to restore scan order
+    vals, idx = jax.lax.top_k(flat, k)
+    valid = vals > 0.0
+    idx = jnp.where(valid, idx, jnp.iinfo(jnp.int32).max)
+    idx = jnp.sort(idx)
+    valid = idx < flat.shape[0]
+    idx = jnp.where(valid, idx, 0)
+    lev = idx // (H * W) + 1
+    r = (idx % (H * W)) // W
+    c = idx % W
+    n_extrema = jnp.sum(is_ext)
+    return lev.astype(jnp.int32), r.astype(jnp.int32), c.astype(jnp.int32), valid, n_extrema
+
+
+def localize(resp: jnp.ndarray, blurs: jnp.ndarray, lev, r0, c0, cand_valid,
+             par: PyramidParams, sigmas: List[float]):
+    """Vectorized 5-iteration subpixel localization (pyramid.cpp:281-403).
+
+    Returns OctaveKeypoints in octave pixel coordinates (before octaveMap
+    dedup, which `dedup_octave_map` applies).
+    """
+    L, H, W = resp.shape
+    edge_th = ((par.edgeEigenValueRatio + 1.0) ** 2) / par.edgeEigenValueRatio
+    if par.detector_mode == "FixedTh":
+        final_th = par.threshold ** 2 if par.detector_type == "Hessian" else par.threshold
+    else:
+        final_th = 0.0
+
+    def neighborhood(lev, r, c):
+        """Gather the 3 (level) x 3 x 3 response cube around (r, c)."""
+        dl = jnp.arange(-1, 2)[:, None, None]
+        dr = jnp.arange(-1, 2)[None, :, None]
+        dc = jnp.arange(-1, 2)[None, None, :]
+        return resp[lev + dl, r + dr, c + dc]  # [3(level),3(row),3(col)]
+
+    def derivs(cube):
+        low, cur, high = cube[0], cube[1], cube[2]
+        dxx = cur[1, 0] - 2.0 * cur[1, 1] + cur[1, 2]
+        dyy = cur[0, 1] - 2.0 * cur[1, 1] + cur[2, 1]
+        dss = low[1, 1] - 2.0 * cur[1, 1] + high[1, 1]
+        dxy = 0.25 * (cur[2, 2] - cur[2, 0] - cur[0, 2] + cur[0, 0])
+        dxs = 0.25 * (high[1, 2] - high[1, 0] - low[1, 2] + low[1, 0])
+        dys = 0.25 * (high[2, 1] - high[0, 1] - low[2, 1] + low[0, 1])
+        dx = 0.5 * (cur[1, 2] - cur[1, 0])
+        dy = 0.5 * (cur[2, 1] - cur[0, 1])
+        ds = 0.5 * (high[1, 1] - low[1, 1])
+        A = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
+        g = jnp.array([dx, dy, ds])
+        return A, g, cur[1, 1], dxx, dyy, dxy
+
+    def one_candidate(lev, r0, c0, valid0):
+        def body(state, it):
+            r, c, b, val, alive, rejected = state
+            cube = neighborhood(lev, r, c)
+            A, g, center, dxx, dyy, dxy = derivs(cube)
+            edge_score = (dxx + dyy) ** 2 / (dxx * dyy - dxy * dxy)
+            edge_bad = (it == 0) & ((edge_score >= edge_th) | (edge_score < 0))
+            bnew = jnp.linalg.solve(A, -g)
+            nan_bad = ~jnp.all(jnp.isfinite(bnew))
+            val_new = center + 0.5 * jnp.dot(g, bnew)
+            # position update with safety-border rejection
+            move_px = (bnew[0] > 0.6)
+            move_mx = (bnew[0] < -0.6)
+            move_py = (bnew[1] > 0.6)
+            move_my = (bnew[1] < -0.6)
+            oob = ((move_px & (c >= W - 3)) | (move_mx & (c <= 3)) |
+                   (move_py & (r >= H - 3)) | (move_my & (r <= 3)))
+            nc = c + move_px.astype(jnp.int32) - move_mx.astype(jnp.int32)
+            nr = r + move_py.astype(jnp.int32) - move_my.astype(jnp.int32)
+            converged = (nr == r) & (nc == c)
+            bad = edge_bad | nan_bad | oob
+            # freeze once rejected or converged
+            upd = alive & ~bad
+            r_out = jnp.where(upd, nr, r)
+            c_out = jnp.where(upd, nc, c)
+            b_out = jnp.where(upd, bnew, b)
+            val_out = jnp.where(upd, val_new, val)
+            rejected = rejected | (alive & bad)
+            alive = alive & ~bad & ~converged
+            return (r_out, c_out, b_out, val_out, alive, rejected), None
+
+        init = (r0, c0, jnp.zeros(3), jnp.float32(0.0), valid0,
+                ~valid0)
+        (r, c, b, val, alive, rejected), _ = jax.lax.scan(
+            body, init, jnp.arange(5))
+        ok = (~rejected) & (jnp.max(jnp.abs(b)) <= 1.5) & (jnp.abs(val) >= final_th)
+        return r, c, b, val, ok
+
+    r, c, b, val, ok = jax.vmap(one_candidate)(lev, r0, c0, cand_valid)
+    # NOTE on the converged-position subtlety: the reference breaks with
+    # (r, c) at the converged position; our scan freezes identically.
+    scale = jnp.asarray(sigmas, jnp.float32)[lev] * jnp.exp2(b[:, 2] / par.numberOfScales)
+    rc = jnp.stack([r.astype(jnp.float32) + b[:, 1],
+                    c.astype(jnp.float32) + b[:, 0]], axis=-1)
+    return OctaveKeypoints(rc=rc, level=lev, scale=scale, response=val,
+                           valid=ok), r, c
+
+
+def dedup_octave_map(r: jnp.ndarray, c: jnp.ndarray, valid: jnp.ndarray,
+                     W: int) -> jnp.ndarray:
+    """octaveMap dedup: first accepted candidate (scan order) claims the
+    integer cell (pyramid.cpp:387-391).  Candidates arrive in scan order."""
+    n = r.shape[0]
+    cell = r * W + c
+    order = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(valid, cell, -1 - order)  # invalid get unique keys
+    # stable sort by key; first of each run of equal keys wins
+    perm = jnp.argsort(key, stable=True)
+    sk = key[perm]
+    first_of_run = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    keep_sorted = first_of_run
+    keep = jnp.zeros(n, bool).at[perm].set(keep_sorted)
+    return valid & keep
