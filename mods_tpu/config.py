@@ -315,7 +315,7 @@ class Config:
     verbose: bool = False
     # padding caps for fixed-shape device code
     max_keypoints: int = 8192        # per (detector, view)
-    max_octave_cands: int = 2048     # candidate extrema per octave
+    max_octave_cands: int = 8192     # candidate extrema per octave
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,286 @@
+"""Batched 7-point fundamental-matrix RANSAC (epipolar verification).
+
+TPU-native counterpart of reference degensac/exp_ranF.c
+(exp_ransacFcustom).  v1 implements the core estimator batched on device:
+  - 7-pt samples -> 2-D nullspace -> cubic det(F1 + a F2) = 0 -> <=3 F's
+    (exp_ranF.c:892-921)
+  - oriented epipolar constraint (Ftools.c:82 all_ori_valid)
+  - Sampson scoring (Ftools.c FDs) with MSAC truncated quadratic
+  - optional symmetric-epipolar cross-check (exp_ranF.c:936-948):
+    reject models where symmetric-distance inliers < 0.6 * Sampson inliers
+  - LO: batched LSQ (normalized 8-point on inlier subsets) + iterative
+    threshold shrinking, rank-2 projection via SVD
+  - F-LAF check (matching.cpp:192-249)
+The plane-and-parallax H-degeneracy recovery (DegUtils.c rFtH) is the
+remaining DEGENSAC piece, tracked for a later round.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RANSACPars
+from ..types import MatchResult, Tentatives
+from .homography import (MIN_POINTS, MWM, TC, ILSQ_ITERS, apply_h,
+                         msac_score, normalize_transform, trunc_quad)
+
+K_SIGMA = 2.0 * 3.0 * math.sqrt(3.0)
+
+
+def f_rows(xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
+    """[...,2] -> [...,9] epipolar constraint rows x2^T F x1 = 0."""
+    x, y = xy1[..., 0], xy1[..., 1]
+    u, v = xy2[..., 0], xy2[..., 1]
+    o = jnp.ones_like(x)
+    return jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, o], -1)
+
+
+def sampson_f_sq(F: jnp.ndarray, xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson epipolar error (Ftools.c FDs)."""
+    x, y = xy1[..., 0], xy1[..., 1]
+    u, v = xy2[..., 0], xy2[..., 1]
+    l1 = F[0, 0] * x + F[0, 1] * y + F[0, 2]       # (F p1)_x
+    l2 = F[1, 0] * x + F[1, 1] * y + F[1, 2]
+    l3 = F[2, 0] * x + F[2, 1] * y + F[2, 2]
+    m1 = F[0, 0] * u + F[1, 0] * v + F[2, 0]       # (F^T p2)_x
+    m2 = F[0, 1] * u + F[1, 1] * v + F[2, 1]
+    num = u * l1 + v * l2 + l3
+    den = l1 * l1 + l2 * l2 + m1 * m1 + m2 * m2
+    den = jnp.where(den < 1e-20, 1e-20, den)
+    return num * num / den
+
+
+def symm_epi_sq(F: jnp.ndarray, xy1, xy2) -> jnp.ndarray:
+    """Symmetric epipolar distance (max of the two point-line dists)."""
+    x, y = xy1[..., 0], xy1[..., 1]
+    u, v = xy2[..., 0], xy2[..., 1]
+    l1 = F[0, 0] * x + F[0, 1] * y + F[0, 2]
+    l2 = F[1, 0] * x + F[1, 1] * y + F[1, 2]
+    l3 = F[2, 0] * x + F[2, 1] * y + F[2, 2]
+    m1 = F[0, 0] * u + F[1, 0] * v + F[2, 0]
+    m2 = F[0, 1] * u + F[1, 1] * v + F[2, 1]
+    m3 = F[0, 2] * u + F[1, 2] * v + F[2, 2]
+    num = u * l1 + v * l2 + l3
+    d2 = num * num / jnp.maximum(l1 * l1 + l2 * l2, 1e-20)
+    d1 = num * num / jnp.maximum(m1 * m1 + m2 * m2, 1e-20)
+    return jnp.maximum(d1, d2)
+
+
+def _cubic_roots(a, b, c, d):
+    """Real roots of a x^3 + b x^2 + c x + d (up to 3, NaN-padded),
+    via the trigonometric/Cardano method, batched."""
+    a = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    p = (3 * a * c - b * b) / (3 * a * a)
+    q = (2 * b ** 3 - 9 * a * b * c + 27 * a * a * d) / (27 * a ** 3)
+    shift = -b / (3 * a)
+    disc = (q / 2) ** 2 + (p / 3) ** 3
+    # three-real-root branch (disc <= 0)
+    pc = jnp.minimum(p, -1e-20)
+    m = 2 * jnp.sqrt(-pc / 3)
+    arg = jnp.clip(3 * q / (pc * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3
+    k = jnp.arange(3)
+    roots3 = m * jnp.cos(theta[..., None] - 2 * jnp.pi * k / 3) + shift[..., None]
+    # single-root branch (disc > 0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u_ = jnp.cbrt(-q / 2 + sq)
+    v_ = jnp.cbrt(-q / 2 - sq)
+    root1 = u_ + v_ + shift
+    nan = jnp.full_like(root1, jnp.nan)
+    single = jnp.stack([root1, nan, nan], -1)
+    return jnp.where((disc <= 0)[..., None], roots3, single)
+
+
+def _fs_from_sample(xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
+    """7-pt minimal solver: [...,7,2]x2 -> [...,3,3,3] (3 candidate F's,
+    invalid ones NaN)."""
+    A = f_rows(xy1s, xy2s)                       # [...,7,9]
+    AtA = jnp.einsum("...ri,...rj->...ij", A, A,
+                     precision=jax.lax.Precision.HIGHEST)
+    w, V = jnp.linalg.eigh(AtA)
+    F1 = V[..., :, 0].reshape(V.shape[:-2] + (3, 3))
+    F2 = V[..., :, 1].reshape(V.shape[:-2] + (3, 3))
+
+    # det(F1 + a F2) = c3 a^3 + c2 a^2 + c1 a + c0 via 4-point interpolation
+    def det(M):
+        return jnp.linalg.det(M)
+    d0 = det(F1)                                  # a=0
+    d1 = det(F1 + F2)                             # a=1
+    dm1 = det(F1 - F2)                            # a=-1
+    d2 = det(F1 + 2 * F2)                         # a=2
+    c0 = d0
+    c2 = (d1 + dm1) / 2 - d0
+    c3 = (d2 - 2 * d1 + d0 - 2 * c2) / 6
+    c1 = d1 - d0 - c2 - c3
+    roots = _cubic_roots(c3, c2, c1, c0)          # [...,3]
+    Fs = F1[..., None, :, :] + roots[..., :, None, None] * F2[..., None, :, :]
+    return Fs
+
+
+def _oriented_f_ok(F: jnp.ndarray, xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
+    """Oriented epipolar constraint (Ftools.c:82 all_ori_valid): the
+    epipolar line orientations e x p2 ~ F p1 must have consistent sign
+    across the sample."""
+    # epipole in image 2: null vector of F^T
+    _, _, Vt = jnp.linalg.svd(F.swapaxes(-1, -2))
+    e = Vt[..., 2, :]
+    p1h = jnp.concatenate([xy1s, jnp.ones_like(xy1s[..., :1])], -1)
+    p2h = jnp.concatenate([xy2s, jnp.ones_like(xy2s[..., :1])], -1)
+    l = jnp.einsum("...ij,...nj->...ni", F, p1h)        # F p1
+    ex = jnp.cross(jnp.broadcast_to(e[..., None, :], p2h.shape), p2h)
+    s = jnp.sum(l * ex, -1)
+    sign = jnp.sign(s)
+    return (jnp.all(sign >= 0, -1) | jnp.all(sign <= 0, -1))
+
+
+def _rank2(F: jnp.ndarray) -> jnp.ndarray:
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    return (U * S[..., None, :]) @ Vt
+
+
+def _weighted_lsq_f(xy1, xy2, w) -> jnp.ndarray:
+    A = f_rows(xy1, xy2) * w[..., None]
+    AtA = jnp.einsum("...ri,...rj->...ij", A, A,
+                     precision=jax.lax.Precision.HIGHEST)
+    _, V = jnp.linalg.eigh(AtA)
+    F = V[..., :, 0].reshape(V.shape[:-2] + (3, 3))
+    return _rank2(F)
+
+
+def _iter_lsq_f(xy1n, xy2n, valid, F0, th_n, steps: int):
+    def body(carry, it):
+        F, bestF, bestJ = carry
+        ths = TC * th_n - (TC - 1.0) * th_n * it / steps
+        d = sampson_f_sq(F, xy1n, xy2n)
+        I, J = msac_score(d, valid, th_n)
+        better = J > bestJ
+        bestF = jnp.where(better, F, bestF)
+        bestJ = jnp.where(better, J, bestJ)
+        w = (valid & (d <= ths * MWM)).astype(jnp.float32)
+        Fn = _weighted_lsq_f(xy1n, xy2n, w)
+        return (Fn, bestF, bestJ), None
+
+    init = (F0, F0, jnp.float32(-1.0))
+    (F, bestF, bestJ), _ = jax.lax.scan(body, init,
+                                        jnp.arange(steps + 1, dtype=jnp.float32))
+    d = sampson_f_sq(F, xy1n, xy2n)
+    I, J = msac_score(d, valid, th_n)
+    better = J > bestJ
+    return jnp.where(better, F, bestF), jnp.where(better, J, bestJ)
+
+
+@partial(jax.jit, static_argnames=("batch", "lo_batch", "do_symm_check"))
+def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
+                   do_symm_check: bool):
+    M = xy1.shape[0]
+    vf = valid.astype(jnp.float32)
+    T1 = normalize_transform(xy1, vf)
+    T2 = normalize_transform(xy2, vf)
+    xy1n = apply_h(T1, xy1)
+    xy2n = apply_h(T2, xy2)
+    th_n = th * T2[0, 0] * T2[0, 0]
+
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (batch, M))
+    u = jnp.where(valid[None, :], u, -1.0)
+    _, sidx = jax.lax.top_k(u, 7)
+    p = xy1n[sidx]
+    q = xy2n[sidx]
+    Fs = _fs_from_sample(p, q)                    # [B,3,3,3]
+    Fs = jnp.nan_to_num(Fs, nan=0.0)
+    Fs_flat = Fs.reshape(batch * 3, 3, 3)
+    rep = lambda x: jnp.repeat(x, 3, axis=0)
+    ok_or = jax.vmap(_oriented_f_ok)(Fs_flat, rep(p), rep(q))
+    d = jax.vmap(lambda F: sampson_f_sq(F, xy1n, xy2n))(Fs_flat)
+    I, J = msac_score(d, valid[None, :], th_n)
+    if do_symm_check:
+        ds = jax.vmap(lambda F: symm_epi_sq(F, xy1n, xy2n))(Fs_flat)
+        Is = jnp.sum(jnp.where(valid[None, :], ds <= th_n, False), -1)
+        ok_or = ok_or & (Is.astype(jnp.float32) >= 0.6 * I.astype(jnp.float32))
+    J = jnp.where(ok_or, J, -1.0)
+    best = jnp.argmax(J)
+    F_best = Fs_flat[best]
+
+    # LO: LSQ on generous inliers + subset batch
+    d_best = sampson_f_sq(F_best, xy1n, xy2n)
+    w0 = (valid & (d_best <= TC * th_n * MWM)).astype(jnp.float32)
+    F_lsq = _weighted_lsq_f(xy1n, xy2n, w0)
+    F_lsq, J_lsq = _iter_lsq_f(xy1n, xy2n, valid, F_lsq, th_n, ILSQ_ITERS)
+
+    d_lsq = sampson_f_sq(F_lsq, xy1n, xy2n)
+    inl = valid & (d_lsq <= th_n)
+    ninl = jnp.sum(inl)
+    ssiz = jnp.clip(ninl // 2, 8, 14)
+    us = jax.random.uniform(k2, (lo_batch, M))
+    us = jnp.where(inl[None, :], us, -1.0)
+    rank = jnp.argsort(-us, axis=1)
+    take = (jnp.arange(M) < ssiz).astype(jnp.float32)
+    sub_w = jax.vmap(lambda r: jnp.zeros(M).at[r].set(take))(rank)
+    sub_w = sub_w * inl.astype(jnp.float32)
+    Fl = jax.vmap(lambda w: _weighted_lsq_f(xy1n, xy2n, w))(sub_w)
+    Fl, Jl = jax.vmap(lambda F: _iter_lsq_f(xy1n, xy2n, valid, F, th_n,
+                                            ILSQ_ITERS))(Fl)
+
+    cand_F = jnp.concatenate([F_best[None], F_lsq[None], Fl], 0)
+    cand_J = jnp.concatenate([J[best][None], J_lsq[None], Jl], 0)
+    gi = jnp.argmax(cand_J)
+    Fg = cand_F[gi]
+
+    d_g = sampson_f_sq(Fg, xy1n, xy2n)
+    wf = (valid & (d_g <= th_n)).astype(jnp.float32)
+    F_fin = _weighted_lsq_f(xy1n, xy2n, wf)
+    d_fin = sampson_f_sq(F_fin, xy1n, xy2n)
+    I_fin, J_fin = msac_score(d_fin, valid, th_n)
+    use_fin = J_fin >= jnp.max(cand_J)
+    F_out = jnp.where(use_fin, F_fin, Fg)
+    d_out = jnp.where(use_fin, d_fin, d_g)
+    inliers = valid & (d_out <= th_n)
+    I_out, J_out = msac_score(d_out, valid, th_n)
+
+    F_px = T2.T @ F_out @ T1                   # denormalize
+    nrm = jnp.linalg.norm(F_px)
+    F_px = F_px / jnp.where(nrm < 1e-12, 1.0, nrm)
+    return F_px, inliers, I_out, J_out
+
+
+def _laf_check_f(t: Tentatives, F: jnp.ndarray, thresh) -> jnp.ndarray:
+    """F_LAF_check (matching.cpp:192-249): Sampson error on the 3 LAF
+    points, drop when sqrt(e0)+sqrt(e1)+sqrt(e2) > thresh."""
+    def pts(xy, A, s):
+        k = K_SIGMA * s[:, None]
+        p0 = xy
+        p1 = xy + k * jnp.stack([A[:, 0, 1], A[:, 1, 1]], -1)
+        p2 = xy + k * jnp.stack([A[:, 0, 0], A[:, 1, 0]], -1)
+        return jnp.stack([p0, p1, p2], 1)
+    P1 = pts(t.xy1, t.A1, t.s1)
+    P2 = pts(t.xy2, t.A2, t.s2)
+    err = sampson_f_sq(F, P1, P2)              # [M,3]
+    sum_err = jnp.sum(jnp.sqrt(err), -1)
+    return t.valid & (sum_err <= thresh)
+
+
+def loransac_f(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
+    """LORANSACFiltering with useF=True (matching.cpp:714-727, 807-820)."""
+    if key is None:
+        key = jax.random.PRNGKey(pars.seed)
+    th = jnp.float32(pars.err_threshold ** 2)
+    F, inl, I, J = _ransac_f_core(t.xy1, t.xy2, t.valid, th, key,
+                                  pars.batch_hypotheses, pars.lo_batch,
+                                  bool(pars.doSymmCheck))
+    keep = inl
+    if pars.LAFCoef > 0:
+        laf_th = jnp.float32(pars.LAFCoef * pars.err_threshold)
+        t_inl = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1,
+                           t.d2, t.ratio, inl)
+        keep = _laf_check_f(t_inl, F, laf_th)
+        keep = keep & (jnp.sum(keep) >= MIN_POINTS)
+    t_out = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
+                       t.ratio, keep)
+    return MatchResult(tentatives=t_out, H=F, n_inliers=t_out.count(),
+                       score=J.astype(jnp.float32))
