@@ -101,7 +101,7 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         def body(state, _):
             u, ratio_bef, done, ok, out_u = state
             A = u * rat
-            img = imops.affine_sample(blurs[lev_i], x, y, A, ws, ws)
+            img = imops.affine_sample_level(blurs, lev_i, x, y, A, ws, ws)
             fx, fy = imops.compute_gradient(img)
             a = jnp.sum(fx * fx * mask) / n_mask
             b = jnp.sum(fx * fy * mask) / n_mask

@@ -155,6 +155,22 @@ def find_extrema(resp: jnp.ndarray, par: PyramidParams, max_cands: int):
     return lev.astype(jnp.int32), r.astype(jnp.int32), c.astype(jnp.int32), valid, n_extrema
 
 
+def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cramer's-rule 3x3 solve (reference helpers.cpp solveLinear3x3 is a
+    Gaussian elimination; Cramer gives identical results up to fp and
+    produces NaN/inf on singular systems, which the caller rejects)."""
+    det = (A[0, 0] * (A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1])
+           - A[0, 1] * (A[1, 0] * A[2, 2] - A[1, 2] * A[2, 0])
+           + A[0, 2] * (A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]))
+
+    def rep(col):
+        M = A.at[:, col].set(b)
+        return (M[0, 0] * (M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1])
+                - M[0, 1] * (M[1, 0] * M[2, 2] - M[1, 2] * M[2, 0])
+                + M[0, 2] * (M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]))
+    return jnp.stack([rep(0), rep(1), rep(2)]) / det
+
+
 def localize(resp: jnp.ndarray, blurs: jnp.ndarray, lev, r0, c0, cand_valid,
              par: PyramidParams, sigmas: List[float]):
     """Vectorized 5-iteration subpixel localization (pyramid.cpp:281-403).
@@ -198,7 +214,7 @@ def localize(resp: jnp.ndarray, blurs: jnp.ndarray, lev, r0, c0, cand_valid,
             A, g, center, dxx, dyy, dxy = derivs(cube)
             edge_score = (dxx + dyy) ** 2 / (dxx * dyy - dxy * dxy)
             edge_bad = (it == 0) & ((edge_score >= edge_th) | (edge_score < 0))
-            bnew = jnp.linalg.solve(A, -g)
+            bnew = _solve3x3(A, -g)   # Cramer: cheap + custom-call-free HLO
             nan_bad = ~jnp.all(jnp.isfinite(bnew))
             val_new = center + 0.5 * jnp.dot(g, bnew)
             # position update with safety-border rejection

@@ -39,8 +39,11 @@ def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
     d = distance_matrix_sq(desc1, desc2)
     d = jnp.where(valid2[None, :], d, big)
     k = min(nn, desc2.shape[0])
-    negd, idx = jax.lax.top_k(-d, k)          # ascending distances
-    dists = -negd                              # [N1, k]
+    # TPU-native PartialReduce top-k (jax.lax.approx_min_k): orders of
+    # magnitude faster than the full-sort fallback of lax.top_k on
+    # [8k, 8k]; recall 0.999 mirrors FLANN's (approximate) kd-tree
+    # semantics while staying nearly exact.
+    dists, idx = jax.lax.approx_min_k(d, k, recall_target=0.999)
     d0 = dists[:, 0]
     i0 = idx[:, 0]
     # spatial distance of each neighbor j to neighbor 0 (reprojected frame)
@@ -83,11 +86,15 @@ def match_fginn(f1: Features, f2: Features, par: MatchPars,
     )
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def duplicate_filter(t: Tentatives, r: float, mode: str = "bestFGINN") -> Tentatives:
+@partial(jax.jit, static_argnames=("mode", "cap"))
+def duplicate_filter(t: Tentatives, r: float, mode: str = "bestFGINN",
+                     cap: int = None) -> Tentatives:
     """Greedy near-duplicate suppression (matching.cpp:2615-2679):
     sort by quality, earlier correspondence suppresses later ones whose
-    BOTH endpoints lie within r pixels."""
+    BOTH endpoints lie within r pixels.
+
+    `cap` (static) truncates to the best-`cap` valid tentatives after the
+    sort so the O(M^2) suppression never runs on the padded capacity."""
     m = t.m
     if mode == "bestFGINN":
         key = t.ratio
@@ -100,6 +107,9 @@ def duplicate_filter(t: Tentatives, r: float, mode: str = "bestFGINN") -> Tentat
     key = jnp.where(t.valid, key, jnp.float32(np.inf))
     order = jnp.argsort(key, stable=True)
     ts = jax.tree.map(lambda x: x[order], t)
+    if cap is not None and cap < m:
+        ts = jax.tree.map(lambda x: x[:cap], ts)
+        m = cap
 
     d1 = jnp.sum((ts.xy1[:, None, :] - ts.xy1[None, :, :]) ** 2, -1)
     d2 = jnp.sum((ts.xy2[:, None, :] - ts.xy2[None, :, :]) ** 2, -1)

@@ -163,6 +163,39 @@ def affine_sample(img: jnp.ndarray, cx, cy, A: jnp.ndarray,
     return bilinear_gather(img, wx, wy)
 
 
+def affine_sample_level(imgs: jnp.ndarray, lev, cx, cy, A: jnp.ndarray,
+                        out_h: int, out_w: int) -> jnp.ndarray:
+    """affine_sample from level `lev` of a stacked [L,H,W] image pyramid.
+
+    Gathers with 3-D indices (lev, y, x) so that a traced per-item level
+    never materializes the whole stack (vmapping `imgs[lev]` would gather
+    full [H,W] images per keypoint -> OOM on TPU)."""
+    H, W = imgs.shape[-2], imgs.shape[-1]
+    half_w = out_w // 2
+    half_h = out_h // 2
+    ii = jnp.arange(out_w, dtype=jnp.float32) - half_w
+    jj = jnp.arange(out_h, dtype=jnp.float32) - half_h
+    j, i = jnp.meshgrid(jj, ii, indexing="ij")
+    wx = cx + i * A[0, 0] + j * A[0, 1]
+    wy = cy + i * A[1, 0] + j * A[1, 1]
+    x0 = jnp.floor(wx)
+    y0 = jnp.floor(wy)
+    inb = (wx >= 0) & (wy >= 0) & (x0 < W - 1) & (y0 < H - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    fx = wx - x0i
+    fy = wy - y0i
+    li = jnp.broadcast_to(lev, x0i.shape)
+    v00 = imgs[li, y0i, x0i]
+    v01 = imgs[li, y0i, x0i + 1]
+    v10 = imgs[li, y0i + 1, x0i]
+    v11 = imgs[li, y0i + 1, x0i + 1]
+    top = v00 + fx * (v01 - v00)
+    bot = v10 + fx * (v11 - v10)
+    val = top + fy * (bot - top)
+    return jnp.where(inb, val, 0.0)
+
+
 def bilinear_gather(img: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
                     fill: float = 0.0) -> jnp.ndarray:
     """Bilinear lookup at float positions; `fill` outside valid area.

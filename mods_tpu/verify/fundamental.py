@@ -189,7 +189,7 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     k1, k2 = jax.random.split(key)
     u = jax.random.uniform(k1, (batch, M))
     u = jnp.where(valid[None, :], u, -1.0)
-    _, sidx = jax.lax.top_k(u, 7)
+    _, sidx = jax.lax.approx_max_k(u, 7)   # distinct uniform 7-subsets
     p = xy1n[sidx]
     q = xy2n[sidx]
     Fs = _fs_from_sample(p, q)                    # [B,3,3,3]
@@ -219,9 +219,9 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     ssiz = jnp.clip(ninl // 2, 8, 14)
     us = jax.random.uniform(k2, (lo_batch, M))
     us = jnp.where(inl[None, :], us, -1.0)
-    rank = jnp.argsort(-us, axis=1)
-    take = (jnp.arange(M) < ssiz).astype(jnp.float32)
-    sub_w = jax.vmap(lambda r: jnp.zeros(M).at[r].set(take))(rank)
+    _, rank16 = jax.lax.approx_max_k(us, 16)     # top-16 covers ssiz <= 14
+    take16 = (jnp.arange(16) < ssiz).astype(jnp.float32)
+    sub_w = jax.vmap(lambda r: jnp.zeros(M).at[r].set(take16))(rank16)
     sub_w = sub_w * inl.astype(jnp.float32)
     Fl = jax.vmap(lambda w: _weighted_lsq_f(xy1n, xy2n, w))(sub_w)
     Fl, Jl = jax.vmap(lambda F: _iter_lsq_f(xy1n, xy2n, valid, F, th_n,

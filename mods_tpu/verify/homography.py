@@ -207,7 +207,7 @@ def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
     # ---- stage 1: B minimal samples ---- #
     u = jax.random.uniform(k1, (batch, M))
     u = jnp.where(valid[None, :], u, -1.0)
-    _, sidx = jax.lax.top_k(u, 4)             # [B,4] distinct valid indices
+    _, sidx = jax.lax.approx_max_k(u, 4)   # distinct uniform 4-subsets             # [B,4] distinct valid indices
     p = xy1n[sidx]                            # [B,4,2]
     q = xy2n[sidx]
     A = dlt_rows(p, q).reshape(batch, 8, 9)
@@ -234,9 +234,9 @@ def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
     ssiz = jnp.clip(ninl // 2, 4, 12)
     us = jax.random.uniform(k2, (lo_batch, M))
     us = jnp.where(inl[None, :], us, -1.0)
-    rank = jnp.argsort(-us, axis=1)
-    take = (jnp.arange(M) < ssiz).astype(jnp.float32)
-    sub_w = jax.vmap(lambda r: jnp.zeros(M).at[r].set(take))(rank)
+    _, rank16 = jax.lax.approx_max_k(us, 16)     # top-16 covers ssiz <= 14
+    take16 = (jnp.arange(16) < ssiz).astype(jnp.float32)
+    sub_w = jax.vmap(lambda r: jnp.zeros(M).at[r].set(take16))(rank16)
     sub_w = sub_w * inl.astype(jnp.float32)
     Hl = jax.vmap(lambda w: _weighted_lsq_h(xy1n, xy2n, w))(sub_w)
     Hl, Il, Jl = jax.vmap(lambda H: _iter_lsq(xy1n, xy2n, valid, H, th_n,
