@@ -33,7 +33,7 @@ def main():
     cfg = load_config("/root/reference/build/config_affori_classic.ini",
                       "/root/reference/build/iters_HessianSIFT.ini")
     cfg.max_octave_cands = 4096
-    fn = match_pair_fn(cfg, max_kp=8192)
+    fn = match_pair_fn(cfg, max_kp=4096)
 
     img1 = cv2.imread("/root/reference/build/imgs/graf1.png").astype(np.float32).mean(axis=2)
     img2 = cv2.imread("/root/reference/build/imgs/graf6.png").astype(np.float32).mean(axis=2)
@@ -48,7 +48,9 @@ def main():
     reps = 5
     t0 = time.time()
     for r in range(reps):
-        out = jax.block_until_ready(fn(i1, i2, jax.random.PRNGKey(r)))
+        out = fn(i1, i2, jax.random.PRNGKey(r))
+        n_inl = int(out[1])   # force device sync (block_until_ready is
+        #                       unreliable through the axon relay)
     dt = (time.time() - t0) / reps
     pairs_per_s = 1.0 / dt
 

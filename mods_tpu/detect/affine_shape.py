@@ -81,7 +81,8 @@ def rectify_up_is_up(A: jnp.ndarray) -> jnp.ndarray:
 
 def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
                    lx: jnp.ndarray, ly: jnp.ndarray, ratio: jnp.ndarray,
-                   valid: jnp.ndarray, par: AffineShapeParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   valid: jnp.ndarray, par: AffineShapeParams,
+                   engine: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run Baumberg on a padded batch of keypoints of ONE octave.
 
     blurs: [L,H,W] octave blur stack; per-kp blur level index `lev`
@@ -96,43 +97,70 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
     n_mask = float(ws * ws)
     max_iter = par.maxIterations
     conv = par.convergenceThreshold
-
-    def one(lev_i, x, y, rat, valid_i):
-        def body(state, _):
-            u, ratio_bef, done, ok, out_u = state
-            A = u * rat
-            img = imops.affine_sample_level(blurs, lev_i, x, y, A, ws, ws)
-            fx, fy = imops.compute_gradient(img)
-            a = jnp.sum(fx * fx * mask) / n_mask
-            b = jnp.sum(fx * fy * mask) / n_mask
-            c = jnp.sum(fy * fy * mask) / n_mask
-            na, nb, nc, l1, l2 = inv_sqrt_2x2(a, b, c)
-            nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
-            ratio_act = 1.0 - l2 / l1
-            M = jnp.array([[na, nb], [nb, nc]])
-            u_new = M @ u
-            eok, e1, e2 = eigenvalues_2x2(u_new[0, 0], u_new[0, 1],
-                                          u_new[1, 0], u_new[1, 1])
-            aniso_bad = (~eok) | (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
-            converged = (ratio_act < conv) & (ratio_bef < conv)
-            # ordering per reference: nan -> reject (before update);
-            # then update; then eigen/aniso -> reject; then convergence.
-            accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
-            reject_now = (~done) & (nan_bad | aniso_bad)
-            out_u = jnp.where(accept_now, u_new, out_u)
-            ok = ok | accept_now
-            done = done | accept_now | reject_now
-            u = jnp.where(done, u, u_new)
-            ratio_bef = jnp.where(done, ratio_bef, ratio_act)
-            return (u, ratio_bef, done, ok, out_u), None
-
-        u0 = jnp.eye(2, dtype=jnp.float32)
-        init = (u0, jnp.float32(0.0), ~valid_i, jnp.zeros((), bool), u0)
-        (u, _, done, ok, out_u), _ = jax.lax.scan(body, init, None, length=max_iter)
-        return out_u, ok & valid_i
+    n = lx.shape[0]
 
     if not par.doBaumberg:
-        n = lx.shape[0]
         return jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1)), valid
-    U, ok = jax.vmap(one)(lev, lx, ly, ratio, valid)
-    return U, ok
+
+    if engine:
+        # gather-free path: crop one generous window per keypoint, then
+        # every iteration resamples it with hat-matrix contractions
+        # (ops/patch_engine.py) instead of 19x19x4 scalar gathers.
+        from ..ops import patch_engine as pe
+        xy = jnp.stack([lx, ly], -1)
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 128)
+        H, W = blurs.shape[-2], blurs.shape[-1]
+
+        def sample_all(A_all):
+            return pe.resample_windows(wins, wox, woy, xy, A_all, ws, W, H)
+    else:
+        sample_all = None
+
+    def math_iter(img, u, ratio_bef, done):
+        """Per-item SMM update from an already-sampled [ws,ws] patch."""
+        fx, fy = imops.compute_gradient(img)
+        a = jnp.sum(fx * fx * mask) / n_mask
+        b = jnp.sum(fx * fy * mask) / n_mask
+        c = jnp.sum(fy * fy * mask) / n_mask
+        na, nb, nc, l1, l2 = inv_sqrt_2x2(a, b, c)
+        nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
+        ratio_act = 1.0 - l2 / l1
+        M = jnp.array([[na, nb], [nb, nc]])
+        u_new = M @ u
+        eok, e1, e2 = eigenvalues_2x2(u_new[0, 0], u_new[0, 1],
+                                      u_new[1, 0], u_new[1, 1])
+        aniso_bad = (~eok) | (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
+        converged = (ratio_act < conv) & (ratio_bef < conv)
+        # ordering per reference affine.cpp:41-149: nan -> reject (before
+        # update); then update; then eigen/aniso -> reject; convergence.
+        accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
+        reject_now = (~done) & (nan_bad | aniso_bad)
+        return u_new, ratio_act, accept_now, reject_now
+
+    batched_math = jax.vmap(math_iter)
+    sample_exact = jax.vmap(
+        lambda l, x, y, a: imops.affine_sample_level(blurs, l, x, y, a, ws, ws))
+
+    def cond(state):
+        it, u, ratio_bef, done, ok, out_u = state
+        return (it < max_iter) & jnp.any(~done)
+
+    def body(state):
+        it, u, ratio_bef, done, ok, out_u = state
+        A_all = u * ratio[:, None, None]
+        imgs = sample_all(A_all) if engine else sample_exact(lev, lx, ly, A_all)
+        u_new, ratio_act, accept_now, reject_now = batched_math(
+            imgs, u, ratio_bef, done)
+        out_u = jnp.where(accept_now[:, None, None], u_new, out_u)
+        ok = ok | accept_now
+        done = done | accept_now | reject_now
+        u = jnp.where(done[:, None, None], u, u_new)
+        ratio_bef = jnp.where(done, ratio_bef, ratio_act)
+        return (it + 1, u, ratio_bef, done, ok, out_u)
+
+    eye = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1))
+    # early-exit while_loop: typical convergence is 2-6 iterations, so the
+    # whole batch usually stops long before maxIterations=16
+    init = (jnp.int32(0), eye, jnp.zeros(n), ~valid, jnp.zeros(n, bool), eye)
+    _, u, _, done, ok, out_u = jax.lax.while_loop(cond, body, init)
+    return out_u, ok & valid

@@ -23,8 +23,16 @@ from . import pyramid as pyr
 from .affine_shape import baumberg_batch, rectify_up_is_up
 
 
+def octave_cap_schedule(max_cands: int, n_octaves: int):
+    """Candidate caps per octave: image area quarters per octave, so do
+    extrema counts; halving the padded capacity per octave keeps the
+    gather-heavy Baumberg stage proportional to real work."""
+    return [max(128, max_cands >> o) for o in range(n_octaves)]
+
+
 def _detect_octave(first_level: jnp.ndarray, par: ScaleSpaceDetectorParams,
-                   init_sigma: float, pixel_distance: float, max_cands: int):
+                   init_sigma: float, pixel_distance: float, max_cands: int,
+                   engine: bool = False):
     """One octave: responses -> extrema -> localization -> Baumberg.
 
     Returns (kp dict in GLOBAL coords, next_first_level, n_extrema).
@@ -41,7 +49,7 @@ def _detect_octave(first_level: jnp.ndarray, par: ScaleSpaceDetectorParams,
     ly = okp.rc[:, 0]
     ratio = okp.scale / par.affine.initialSigma
     U, ok = baumberg_batch(blurs, okp.level - 1, lx, ly, ratio, valid,
-                           par.affine)
+                           par.affine, engine=engine)
     # global coordinates (pyramid.cpp:402: pixelDistance * (c+b0) etc.)
     s_glob = okp.scale * pixel_distance
     det = jnp.sqrt(jnp.abs(U[:, 0, 0] * U[:, 1, 1] - U[:, 0, 1] * U[:, 1, 0]))
@@ -79,11 +87,14 @@ def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
 
     min_size = 2 * py.border + 2
     per_octave: List[Keypoints] = []
+    oct_i = 0
     while first.shape[-2] > min_size and first.shape[-1] > min_size:
+        cap = max(128, max_octave_cands >> oct_i)
         kp, first, _ = _detect_octave(first, par, py.initialSigma,
-                                      pixel_distance, max_octave_cands)
+                                      pixel_distance, cap)
         per_octave.append(kp)
         pixel_distance *= 2.0
+        oct_i += 1
 
     n_tot = sum(k.n for k in per_octave)
     allkp = Keypoints(

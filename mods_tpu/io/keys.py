@@ -1,0 +1,174 @@
+"""Feature persistence in the reference's interchange formats.
+
+ - npz: {"xy" Nx2 f64, "scales" Nx1, "responses" Nx1, "A" Nx4,
+   "descs" NxD uint8}  (reference imagerepresentation.cpp:1257-1316
+   SaveRegionsNPZ / :1355-1513 PreLoadRegionsNPZ — written with numpy
+   instead of cnpy+zlib; byte-compatible since npz is just zipped npy)
+ - Mikolajczyk/OxAff text: "x y a b c d0..dD" ellipse rows
+   (saveKP_KM_format, imagerepresentation.cpp:113-126)
+ - "Michal" text: "x y s a11 a12 a21 a22 sub_type response d0..dD"
+   (saveKPMichal, imagerepresentation.cpp:128-135)
+
+These double as the checkpoint/resume mechanism (reference
+`read_pre_extracted`, mods.cpp:197-229).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..types import Features, Keypoints
+
+K_SIGMA_3S3 = 3.0 * math.sqrt(3.0)
+
+
+def _rectify_np(A: np.ndarray) -> np.ndarray:
+    """rectifyAffineTransformationUpIsUp (helpers.cpp:380-389), numpy."""
+    a, b = A[:, 0, 0], A[:, 0, 1]
+    c, d = A[:, 1, 0], A[:, 1, 1]
+    det = np.sqrt(np.abs(a * d - b * c))
+    b2a2 = np.sqrt(b * b + a * a)
+    out = np.zeros_like(A)
+    out[:, 0, 0] = b2a2 / det
+    out[:, 1, 0] = (d * b + c * a) / (b2a2 * det)
+    out[:, 1, 1] = det / b2a2
+    return out
+
+
+def features_dense(f: Features) -> Dict[str, np.ndarray]:
+    v = np.asarray(f.valid)
+    return dict(
+        xy=np.asarray(f.reproj.xy, np.float64)[v],
+        A=np.asarray(f.reproj.A, np.float64)[v],
+        s=np.asarray(f.reproj.s, np.float64)[v],
+        response=np.asarray(f.det.response, np.float64)[v],
+        desc=np.asarray(f.desc)[v],
+    )
+
+
+def save_npz(fname: str, feats: Features) -> None:
+    d = features_dense(feats)
+    n = len(d["s"])
+    np.savez(fname if fname.endswith(".npz") else fname + ".npz",
+             xy=d["xy"].reshape(n, 2),
+             scales=d["s"].reshape(n, 1),
+             responses=d["response"].reshape(n, 1),
+             A=d["A"].reshape(n, 4),
+             descs=np.clip(d["desc"], 0, 255).astype(np.uint8))
+
+
+def load_npz(fname: str) -> Features:
+    """reference PreLoadRegionsNPZ (imagerepresentation.cpp:1355-1513)."""
+    import jax.numpy as jnp
+    z = np.load(fname)
+    xy = np.asarray(z["xy"], np.float32).reshape(-1, 2)
+    n = xy.shape[0]
+    s = np.asarray(z["scales"], np.float32).reshape(-1)
+    resp = (np.asarray(z["responses"], np.float32).reshape(-1)
+            if "responses" in z else np.full(n, 100.0, np.float32))
+    if "A" in z:
+        A = np.asarray(z["A"], np.float32).reshape(-1, 2, 2)
+    else:
+        A = np.tile(np.eye(2, dtype=np.float32)[None], (n, 1, 1))
+    desc = (np.asarray(z["descs"], np.float32) if "descs" in z
+            else np.zeros((n, 128), np.float32))
+    kp = Keypoints(xy=jnp.asarray(xy), A=jnp.asarray(A), s=jnp.asarray(s),
+                   response=jnp.asarray(resp), valid=jnp.ones(n, bool))
+    return Features(det=kp, reproj=kp, desc=jnp.asarray(desc))
+
+
+def save_oxaff(fname: str, feats: Features) -> None:
+    """Mikolajczyk 'x y a b c' ellipse format + descriptor values.
+
+    Header: descriptor_dim then keypoint count; ellipse [a b; b c] with
+    x' E x = 1 over the 3*sqrt(3)*s measurement region
+    (saveKP_KM_format, imagerepresentation.cpp:113-126)."""
+    d = features_dense(feats)
+    n = len(d["s"])
+    A = d["A"]
+    sc = d["s"] * np.sqrt(np.abs(np.linalg.det(A))) * K_SIGMA_3S3
+    Ar = _rectify_np(A)
+    U, w, Vt = np.linalg.svd(Ar)
+    winv = 1.0 / (w ** 2 * sc[:, None] ** 2)
+    E = np.einsum("nij,nj,nkj->nik", U, winv, U)
+    with open(fname, "w") as fh:
+        fh.write(f"{d['desc'].shape[1]}\n{n}\n")
+        for i in range(n):
+            row = [d["xy"][i, 0], d["xy"][i, 1],
+                   E[i, 0, 0], E[i, 0, 1], E[i, 1, 1]]
+            row += d["desc"][i].tolist()
+            fh.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def load_oxaff(fname: str) -> Features:
+    """ReadKPsMik (synth-detection.cpp:1451-1496): ellipse -> (s, A)."""
+    import jax.numpy as jnp
+    with open(fname) as fh:
+        dim = int(float(fh.readline().strip()))
+        n = int(float(fh.readline().strip()))
+        xy = np.zeros((n, 2), np.float32)
+        A = np.zeros((n, 2, 2), np.float32)
+        s = np.zeros(n, np.float32)
+        desc = np.zeros((n, dim), np.float32)
+        for i in range(n):
+            vals = [float(t) for t in fh.readline().split()]
+            x, y, a, b, c = vals[:5]
+            desc[i] = vals[5:5 + dim]
+            xy[i] = (x, y)
+            E = np.array([[a, b], [b, c]])
+            wE, VE = np.linalg.eigh(E)
+            # E = V diag(w) V^T ; shape matrix M = E^{-1/2}, s = det^{1/4}
+            Minv_sq = VE @ np.diag(1.0 / np.sqrt(np.maximum(wE, 1e-12))) @ VE.T
+            det = np.sqrt(np.abs(np.linalg.det(Minv_sq)))
+            s[i] = np.sqrt(det) / K_SIGMA_3S3
+            A[i] = Minv_sq / np.sqrt(det)
+    kp = Keypoints(xy=jnp.asarray(xy), A=jnp.asarray(A), s=jnp.asarray(s),
+                   response=jnp.full(n, 100.0), valid=jnp.ones(n, bool))
+    return Features(det=kp, reproj=kp, desc=jnp.asarray(desc))
+
+
+def save_michal(fname: str, feats: Features) -> None:
+    """saveKPMichal text format (imagerepresentation.cpp:128-135)."""
+    d = features_dense(feats)
+    n = len(d["s"])
+    A = d["A"]
+    s2 = d["s"] * np.sqrt(np.abs(np.linalg.det(A))) * K_SIGMA_3S3
+    Ar = _rectify_np(A)
+    with open(fname, "w") as fh:
+        fh.write(f"{d['desc'].shape[1]}\n{n}\n")
+        for i in range(n):
+            row = [d["xy"][i, 0], d["xy"][i, 1], s2[i],
+                   Ar[i, 0, 0], Ar[i, 0, 1], Ar[i, 1, 0], Ar[i, 1, 1],
+                   0, d["response"][i]]
+            row += d["desc"][i].tolist()
+            fh.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def write_matches(fname: str, xy1: np.ndarray, xy2: np.ndarray,
+                  ratios: Optional[np.ndarray] = None) -> None:
+    """WriteMatchings (matching.cpp:2596-2613): 'x1 y1 x2 y2 [ratio]'."""
+    with open(fname, "w") as fh:
+        fh.write(f"{len(xy1)}\n")
+        for i in range(len(xy1)):
+            row = [xy1[i, 0], xy1[i, 1], xy2[i, 0], xy2[i, 1]]
+            if ratios is not None:
+                row.append(ratios[i])
+            fh.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def write_h(fname: str, H: np.ndarray) -> None:
+    """WriteH (matching.cpp:2681-2689)."""
+    H = np.asarray(H).reshape(3, 3)
+    with open(fname, "w") as fh:
+        for r in range(3):
+            fh.write(" ".join(f"{v:g}" for v in H[r]) + "\n")
+
+
+def read_h(fname: str) -> np.ndarray:
+    vals = []
+    with open(fname) as fh:
+        for line in fh:
+            vals += [float(t) for t in line.split()]
+    return np.asarray(vals[:9], np.float64).reshape(3, 3)

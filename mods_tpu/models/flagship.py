@@ -26,6 +26,7 @@ from ..detect import orientation as ori
 from ..desc import sift as siftmod
 from ..match.matching import distance_matrix_sq, match_fginn, duplicate_filter
 from ..ops import image as imops
+from ..ops import patch_engine as pe
 from ..pipeline import K_SIGMA, _orient_batch
 from ..types import Features, Keypoints, Tentatives
 from ..verify.homography import _ransac_h_core
@@ -43,11 +44,14 @@ def _detect_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Keypoints:
         first = imops.gaussian_blur(first, sigma)
     min_size = 2 * py.border + 2
     per_octave = []
+    oct_i = 0
     while first.shape[-2] > min_size and first.shape[-1] > min_size:
+        cap = max(128, cfg.max_octave_cands >> oct_i)
         kp, first, _ = _detect_octave(first, par, py.initialSigma,
-                                      pixel_distance, cfg.max_octave_cands)
+                                      pixel_distance, cap, engine=True)
         per_octave.append(kp)
         pixel_distance *= 2.0
+        oct_i += 1
     allkp = Keypoints(
         xy=jnp.concatenate([k.xy for k in per_octave]),
         A=jnp.concatenate([k.A for k in per_octave]),
@@ -60,36 +64,50 @@ def _detect_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Keypoints:
                             py.rel_reg_number, bool(par.affine.doBaumberg))
 
 
-def _describe_fast(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> jnp.ndarray:
-    """Fast-path RootSIFT description (fixed-size single-stage sampling)."""
+def _describe_fast(pyr: jnp.ndarray, kp: Keypoints, cfg: Config) -> jnp.ndarray:
+    """RootSIFT description via the mip patch engine (anti-aliased,
+    gather-free; the reference's two-stage blur+subsample is approximated
+    by the pyramid level choice, ops/patch_engine.py)."""
     par = cfg.rootsift
     ps = par.PEParam.patchSize
     mr = par.PEParam.mrSize
     pis = 2 * int(mr) + 1
     k = float(pis) / ps
     mask = jnp.asarray(imops.circular_gauss_mask(ps))
-
-    def one(xy, A, s):
-        return imops.affine_sample(img, xy[0], xy[1], A * (k * s), ps, ps)
-    patches = jax.vmap(one)(kp.xy, kp.A, kp.s)
+    patches = pe.sample_patches(pyr, kp.xy, kp.A * (k * kp.s)[:, None, None], ps)
     if par.PEParam.photoNorm:
         patches = imops.photometric_normalize(patches, mask)
     return siftmod.describe_patches(patches, par)
 
 
 def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
-    """Jittable single-view extraction (identity view)."""
+    """Jittable single-view extraction (identity view), patch-engine based."""
     h, w = img.shape
     kp = _detect_jit(img, cfg, max_kp)
     inside = ((kp.xy[:, 0] > 0) & (kp.xy[:, 0] < w) &
               (kp.xy[:, 1] > 0) & (kp.xy[:, 1] < h))
     kp = Keypoints(kp.xy, kp.A, kp.s, kp.response, kp.valid & inside)
+
+    pyr = pe.build_mip_pyramid(img, cfg.hessian.pyramid.initialSigma)
+
+    # orientation (reference DetectOrientation numerics, engine sampling)
     dom = cfg.domori
     max_angles = dom.maxAngles if dom.maxAngles > 0 else 8
-    A_rot, aok, _ = _orient_batch(
-        img, kp.xy, kp.A, kp.s, kp.valid, float(dom.PEParam.mrSize),
-        max_angles, int(dom.PEParam.patchSize), float(dom.threshold),
-        False, False)
+    ps_o = int(dom.PEParam.patchSize)
+    patch_image_size = 2 * int(dom.PEParam.mrSize) + 1
+    k_o = float(patch_image_size) / ps_o
+    touch0 = imops.interpolate_check_borders(
+        w, h, kp.xy[:, 0], kp.xy[:, 1], kp.A, K_SIGMA * kp.s, K_SIGMA * kp.s)
+    patches_o = pe.sample_patches(pyr, kp.xy,
+                                  kp.A * (k_o * kp.s)[:, None, None], ps_o,
+                                  mode="fit")
+    omask = jnp.asarray(imops.circular_gauss_mask(ps_o, ps_o / 3.0))
+    hist = ori.orientation_histogram(patches_o, omask, False)
+    angles, aok = ori.dominant_angles(hist, float(dom.threshold), max_angles)
+    A_rot = jax.vmap(lambda Ai, angs: jax.vmap(
+        lambda a: ori.apply_rotation(Ai, a))(angs))(kp.A, angles)
+    aok = aok & (kp.valid & ~touch0)[:, None]
+
     kp_o = Keypoints(
         xy=jnp.repeat(kp.xy, max_angles, axis=0),
         A=A_rot.reshape(-1, 2, 2),
@@ -102,7 +120,7 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
         K_SIGMA * kp_o.s, K_SIGMA * kp_o.s)
     kp_o = Keypoints(kp_o.xy, kp_o.A, kp_o.s, kp_o.response,
                      kp_o.valid & ~touch)
-    desc = _describe_fast(img, kp_o, cfg)
+    desc = _describe_fast(pyr, kp_o, cfg)
     desc = jnp.where(kp_o.valid[:, None], desc, 0.0)
     return Features(det=kp_o, reproj=kp_o, desc=desc)
 
