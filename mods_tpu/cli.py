@@ -39,8 +39,17 @@ def cmd_mods(argv):
     from .twoview import match_images
     from .io.keys import read_h, write_h, write_matches
 
+    # flags (extensions beyond the reference positional CLI)
+    flags = {a for a in argv if a.startswith("--")}
+    argv = [a for a in argv if not a.startswith("--")]
+    do_clahe = "--clahe" in flags            # mods.cpp:133-181
+    use_mask = "--mask" in flags             # mods-with-mask.cpp:109-198
+    pre_extracted = "--pre-extracted" in flags  # mods.cpp:197-229
+
     img1p, img2p = argv[0], argv[1]
     out_args = argv[2:]
+    out_img1 = out_args[0] if len(out_args) > 0 else ""
+    out_img2 = out_args[1] if len(out_args) > 1 else ""
     k1 = out_args[2] if len(out_args) > 2 else "k1.txt"
     k2 = out_args[3] if len(out_args) > 3 else "k2.txt"
     m_out = out_args[4] if len(out_args) > 4 else "matches.txt"
@@ -51,12 +60,42 @@ def cmd_mods(argv):
     iters_path = out_args[9] if len(out_args) > 9 else _DEF_ITERS
 
     cfg = load_config(cfg_path, iters_path)
-    img1 = _load_gray(img1p)
-    img2 = _load_gray(img2p)
+    if pre_extracted:
+        # read_pre_extracted: img args are saved-feature files; maxSteps=1
+        # (mods.cpp:197-229)
+        from .io.keys import load_npz, load_oxaff
+        load = lambda p: load_npz(p) if p.endswith(".npz") else load_oxaff(p)
+        pre_feats = (load(img1p), load(img2p))
+        img1 = img2 = np.zeros((16, 16), np.float32)
+    else:
+        pre_feats = None
+        img1 = _load_gray(img1p)
+        img2 = _load_gray(img2p)
+        if do_clahe:
+            import cv2
+            clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+            img1 = clahe.apply(np.clip(img1, 0, 255).astype(np.uint8)).astype(np.float32)
+            img2 = clahe.apply(np.clip(img2, 0, 255).astype(np.uint8)).astype(np.float32)
+        if use_mask:
+            import cv2
+            for i, p in enumerate([img1p, img2p]):
+                mp = os.path.splitext(p)[0] + "_mask.png"
+                if os.path.exists(mp):
+                    m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
+                    if m is not None and m.shape == (img1, img2)[i].shape:
+                        tgt = (img1, img2)[i]
+                        tgt[m == 0] = 0.0
     H_gt = read_h(gt_h_path) if gt_h_path and os.path.exists(gt_h_path) else None
     t0 = time.time()
-    r = match_images(img1, img2, cfg, H_gt=H_gt, ver_type=ver_type)
+    r = match_images(img1, img2, cfg, H_gt=H_gt, ver_type=ver_type,
+                     pre_extracted=pre_feats)
     total = time.time() - t0
+    if out_img1 and r.final is not None:
+        import cv2
+        from .io.draw import draw_matches
+        vis = draw_matches(img1, img2, r.final.tentatives, H=r.H,
+                           is_f=ver_type in ("LORANSACF", "ORSA"))
+        cv2.imwrite(out_img1, vis)
 
     print(f"{r.tentatives} tentatives found.")
     print(f"{r.unique_tentatives} unique tentatives left")
@@ -80,13 +119,19 @@ def cmd_mods(argv):
         v = np.asarray(t.valid)
         write_matches(m_out, np.asarray(t.xy1)[v], np.asarray(t.xy2)[v],
                       np.asarray(t.ratio)[v])
+    from .io.logs import write_log, write_time_log
     with open(log_out, "w") as fh:
+        # reference io_mods WriteLog line (io_mods.cpp:10-67) ...
+        write_log(r, ver_type, total, fh)
+        # ... plus a JSON record (extension)
         fh.write(json.dumps(dict(
             tentatives=r.tentatives, unique=r.unique_tentatives,
             inliers=r.inliers, inlier_ratio=r.inlier_ratio,
             regions1=r.regions1, regions2=r.regions2,
             descriptors1=r.descriptors1, descriptors2=r.descriptors2,
             steps=r.steps_done, total_time_s=total)) + "\n")
+    with open(log_out + ".time", "w") as fh:
+        write_time_log(r.timelog, total, fh)
     return 0
 
 
@@ -126,9 +171,21 @@ def cmd_extract(argv):
 
 def cmd_extract_batch(argv):
     """Batch extraction with skip-if-exists resume
-    (reference extract_features_batch.cpp:104-116)."""
+    (reference extract_features_batch.cpp:104-116).
+
+    `--shard I/N` restricts this process to a strided partition of the
+    list — the multi-host data-parallel mode (the resume mechanism makes
+    re-running failed shards idempotent)."""
     from .config import load_config
     from .io.keys import save_npz, save_oxaff
+    from .parallel.distributed import shard_list
+    shard = (0, 1)
+    for a in list(argv):
+        if a.startswith("--shard"):
+            argv.remove(a)
+            i, n = a.split("=")[-1].split("/") if "=" in a else \
+                a[len("--shard"):].lstrip(":").split("/")
+            shard = (int(i), int(n))
     list_in, list_out = argv[0], argv[1]
     cfg = load_config(argv[2] if len(argv) > 2 else _DEF_CFG,
                       argv[3] if len(argv) > 3 else _DEF_ITERS)
@@ -136,8 +193,9 @@ def cmd_extract_batch(argv):
         imgs = [l.strip() for l in fh if l.strip()]
     with open(list_out) as fh:
         outs = [l.strip() for l in fh if l.strip()]
+    pairs = shard_list(list(zip(imgs, outs)), shard[0], shard[1])
     n_done = 0
-    for img_p, out_p in zip(imgs, outs):
+    for img_p, out_p in pairs:
         if os.path.exists(out_p) and os.path.getsize(out_p) > 0:
             print(f"skip {out_p} (exists)")
             continue

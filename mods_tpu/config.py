@@ -228,6 +228,7 @@ class RANSACPars:
     errorType: str = "Sampson"       # Sampson | SymmSum | SymmMax
     useF: bool = False
     doSymmCheck: bool = False
+    doDegeneracyCheck: bool = True   # DEGENSAC H-degeneracy (exp_ranF.c:959)
     LAFCoef: float = 3.0
     HLAFCoef: float = 10.0
     justMarkOutliers: bool = False

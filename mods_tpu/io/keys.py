@@ -146,6 +146,34 @@ def save_michal(fname: str, feats: Features) -> None:
             fh.write(" ".join(f"{v:g}" for v in row) + "\n")
 
 
+def load_michal(fname: str) -> Features:
+    """Inverse of save_michal (reference loadKPMichal-style rows:
+    'x y s a11 a12 a21 a22 sub_type response d...')."""
+    import jax.numpy as jnp
+    with open(fname) as fh:
+        dim = int(float(fh.readline().strip()))
+        n = int(float(fh.readline().strip()))
+        xy = np.zeros((n, 2), np.float32)
+        A = np.zeros((n, 2, 2), np.float32)
+        s = np.zeros(n, np.float32)
+        resp = np.zeros(n, np.float32)
+        desc = np.zeros((n, dim), np.float32)
+        for i in range(n):
+            vals = [float(t) for t in fh.readline().split()]
+            xy[i] = vals[0:2]
+            s2 = vals[2]
+            A[i] = [[vals[3], vals[4]], [vals[5], vals[6]]]
+            resp[i] = vals[8]
+            desc[i] = vals[9:9 + dim]
+            # stored scale bakes in sqrt(det A)*3*sqrt(3) (save_michal)
+            det = np.sqrt(np.abs(A[i, 0, 0] * A[i, 1, 1]
+                                 - A[i, 0, 1] * A[i, 1, 0]))
+            s[i] = s2 / max(det * K_SIGMA_3S3, 1e-12)
+    kp = Keypoints(xy=jnp.asarray(xy), A=jnp.asarray(A), s=jnp.asarray(s),
+                   response=jnp.asarray(resp), valid=jnp.ones(n, bool))
+    return Features(det=kp, reproj=kp, desc=jnp.asarray(desc))
+
+
 def write_matches(fname: str, xy1: np.ndarray, xy2: np.ndarray,
                   ratios: Optional[np.ndarray] = None) -> None:
     """WriteMatchings (matching.cpp:2596-2613): 'x1 y1 x2 y2 [ratio]'."""

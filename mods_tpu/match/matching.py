@@ -86,6 +86,43 @@ def match_fginn(f1: Features, f2: Features, par: MatchPars,
     )
 
 
+def match_distance_threshold(f1: Features, f2: Features, par: MatchPars,
+                             max_dist: float) -> Tentatives:
+    """Absolute-distance matcher (reference MatchFLANNDistance,
+    matching.cpp:574-633): accept the nearest neighbor when its distance
+    is below a fixed threshold (the reference uses it for binary
+    descriptors with Hamming distance; descriptors here are dense, so the
+    same gate applies to squared L2)."""
+    d = distance_matrix_sq(f1.desc, f2.desc)
+    d = jnp.where(f2.valid[None, :], d, jnp.float32(1e12))
+    i0 = jnp.argmin(d, axis=1)
+    d0 = jnp.take_along_axis(d, i0[:, None], axis=1)[:, 0]
+    accept = f1.valid & (d0 <= max_dist * max_dist) & (f2.valid.sum() > 0)
+    q, r = f1.reproj, f2.reproj
+    return Tentatives(
+        xy1=q.xy, xy2=r.xy[i0], A1=q.A, A2=r.A[i0],
+        s1=q.s, s2=r.s[i0], d1=d0, d2=d0,
+        ratio=jnp.ones_like(d0), valid=accept)
+
+
+def match_fginn_plus_db(f1: Features, f2: Features, db_desc: jnp.ndarray,
+                        par: MatchPars, ratio_th: float,
+                        db_ratio_th: float = None) -> Tentatives:
+    """FGINN + global-descriptor-DB second-nearest check (reference
+    MatchFlannFGINNPlusDB, matching.cpp:461-572, fed by
+    CorrespondenceBank::DescriptorsDBForSNN): a tentative also needs
+    d1 / d_DB <= ratio^2 against the nearest neighbor in a database of
+    unrelated descriptors — an absolute distinctiveness gate."""
+    if db_ratio_th is None:
+        db_ratio_th = ratio_th
+    t = match_fginn(f1, f2, par, ratio_th)
+    d_db = distance_matrix_sq(f1.desc, db_desc)
+    d_db0 = jnp.min(d_db, axis=1)
+    ok_db = t.d1 / jnp.maximum(d_db0, 1e-30) <= db_ratio_th * db_ratio_th
+    return Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
+                      t.ratio, t.valid & ok_db)
+
+
 @partial(jax.jit, static_argnames=("mode", "cap"))
 def duplicate_filter(t: Tentatives, r: float, mode: str = "bestFGINN",
                      cap: int = None) -> Tentatives:

@@ -158,21 +158,29 @@ def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
 def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
                  cfg: Config, detector: str, descriptors: List[str],
                  tilt: float = 1.0, zoom: float = 1.0,
-                 timelog: Optional[TimeLog] = None) -> ViewFeatures:
+                 timelog: Optional[TimeLog] = None,
+                 keypoints: Optional[Keypoints] = None) -> ViewFeatures:
     """Full per-view pipeline for one detector (reference
-    imagerepresentation.cpp:705-1099 inner loop body)."""
+    imagerepresentation.cpp:705-1099 inner loop body).
+
+    `keypoints` overrides detection — used by the MSER path (host
+    component tree) and the ReadAffs pseudo-detector
+    (imagerepresentation.cpp:741-771)."""
     tl = timelog or TimeLog()
-    det_par = {"HessianAffine": cfg.hessian, "DoG": cfg.dog,
-               "HarrisAffine": cfg.harris}[detector]
 
     t0 = time.time()
-    kp = detect_keypoints(img_view, det_par, max_kp=cfg.max_keypoints,
-                          max_octave_cands=cfg.max_octave_cands,
-                          tilt=tilt, zoom=zoom)
-    # deep path: AffNet replaces Baumberg (imagerepresentation.cpp:798-855)
-    if det_par.affine.useZMQ and detector == "HessianAffine":
-        from .desc.cnn import affnet_adapt
-        kp = affnet_adapt(img_view, kp, cfg)
+    if keypoints is not None:
+        kp = keypoints
+    else:
+        det_par = {"HessianAffine": cfg.hessian, "DoG": cfg.dog,
+                   "HarrisAffine": cfg.harris}[detector]
+        kp = detect_keypoints(img_view, det_par, max_kp=cfg.max_keypoints,
+                              max_octave_cands=cfg.max_octave_cands,
+                              tilt=tilt, zoom=zoom)
+        # deep path: AffNet replaces Baumberg (imagerepresentation.cpp:798-855)
+        if det_par.affine.useZMQ and detector == "HessianAffine":
+            from .desc.cnn import affnet_adapt
+            kp = affnet_adapt(img_view, kp, cfg)
     jax.block_until_ready(kp.valid)
     tl.DetectTime += time.time() - t0
 

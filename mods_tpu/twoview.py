@@ -24,6 +24,7 @@ from .synth.vs import SynthView, generate_synth_view, set_vs_pars
 from .types import Features, MatchResult, Tentatives
 from .verify.homography import hmatrix_filter, loransac_h
 from .verify.fundamental import loransac_f
+from .verify.orsa import orsa_filter
 
 
 @dataclass
@@ -79,8 +80,8 @@ def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
     H_img, W_img = img.shape
     dimg = jnp.asarray(img)
     for det_name, sched in step.detectors.items():
-        if det_name not in ("HessianAffine", "DoG", "HarrisAffine"):
-            continue  # MSER handled separately (host component tree)
+        if det_name not in ("HessianAffine", "DoG", "HarrisAffine", "MSER"):
+            continue
         prev = prev_views.setdefault(det_name, [])
         views, prev_views[det_name] = set_vs_pars(
             sched["scale_set"], sched["tilt_set"], sched["phi"],
@@ -92,9 +93,18 @@ def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
                                      vp.InitSigma, vp.doBlur, i)
             jax.block_until_ready(sv.pixels)
             tl.SynthTime += time.time() - t0
+            kp_override = None
+            if det_name == "MSER":
+                # host component tree (native/mser.cpp via ctypes); the
+                # ellipse frames feed the same device stages as the
+                # scale-space detectors
+                from .detect.mser import detect_mser
+                t0 = time.time()
+                kp_override = detect_mser(np.asarray(sv.pixels), cfg.mser)
+                tl.DetectTime += time.time() - t0
             vf = extract_view(sv.pixels, sv.H, W_img, H_img, cfg, det_name,
                               vp.descriptors, tilt=sv.tilt, zoom=sv.zoom,
-                              timelog=tl)
+                              timelog=tl, keypoints=kp_override)
             rep.add(det_name, vf)
 
 
@@ -112,11 +122,16 @@ def _compact_tentatives(t: Tentatives, cap: Optional[int] = None) -> Tentatives:
 
 def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
                  H_gt: Optional[np.ndarray] = None,
-                 ver_type: str = "LORANSAC") -> TwoViewResult:
+                 ver_type: str = "LORANSAC",
+                 pre_extracted: Optional[Tuple[Features, Features]] = None
+                 ) -> TwoViewResult:
     """The MODS loop (mods.cpp:202-383).
 
     img1/img2: float32 [H,W] grayscale 0..255 (use ops.image.rgb_to_gray).
-    ver_type: LORANSAC | LORANSACF | GR_TRUTH.
+    ver_type: LORANSAC | LORANSACF | ORSA | GR_TRUTH.
+    pre_extracted: (features1, features2) loaded from disk — skips
+    extraction, forces a single step (reference read_pre_extracted,
+    mods.cpp:197-229).
     """
     res = TwoViewResult()
     tl = res.timelog
@@ -126,22 +141,34 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
     prev2: Dict[str, List[ViewSynthParameters]] = {}
     all_tents: Dict[Tuple[str, str], Tentatives] = {}
 
+    iters = cfg.iters
+    if pre_extracted is not None:
+        iters = cfg.iters[:1]
+        step0 = iters[0]
+        det0 = step0.separate_detectors[0] if step0.separate_detectors else "HessianAffine"
+        desc0 = (step0.separate_descriptors[0]
+                 if step0.separate_descriptors else "RootSIFT")
+        for rep, f in zip((rep1, rep2), pre_extracted):
+            rep.add(det0, ViewFeatures(regions=f, by_desc={desc0: f}))
+
     curr_matches = 0
-    for si, step in enumerate(cfg.iters):
+    for si, step in enumerate(iters):
         if curr_matches >= cfg.matching.minMatches:
             break
         res.steps_done = si + 1
-        _extract_image(img1, cfg, step, prev1, rep1, tl)
-        _extract_image(img2, cfg, step, prev2, rep2, tl)
+        if pre_extracted is None:
+            _extract_image(img1, cfg, step, prev1, rep1, tl)
+            _extract_image(img2, cfg, step, prev2, rep2, tl)
 
         # matching per WhatToMatch groups (correspondencebank.cpp:234-343)
         t0 = time.time()
         for det in step.separate_detectors:
             sched = step.detectors.get(det)
-            if sched is None:
+            if sched is None and pre_extracted is None:
                 continue
             for desc in step.separate_descriptors:
-                ratio = sched["fginn"].get(desc, 0.0)
+                ratio = (sched["fginn"].get(desc, 0.0) if sched is not None
+                         else 0.8)
                 if ratio <= 0:
                     continue
                 f1l = rep1.get(det, desc)
@@ -178,6 +205,12 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
                             else res.true_matches_gt)
         elif ver_type == "LORANSACF":
             mr = loransac_f(merged, cfg.ransac)
+            res.inliers = int(mr.n_inliers)
+            res.H = np.asarray(mr.H)
+            res.final = mr
+            curr_matches = res.inliers
+        elif ver_type == "ORSA":
+            mr = orsa_filter(merged, cfg.ransac, img1.shape[1], img1.shape[0])
             res.inliers = int(mr.n_inliers)
             res.H = np.asarray(mr.H)
             res.final = mr

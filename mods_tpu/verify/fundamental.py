@@ -11,8 +11,10 @@ TPU-native counterpart of reference degensac/exp_ranF.c
   - LO: batched LSQ (normalized 8-point on inlier subsets) + iterative
     threshold shrinking, rank-2 projection via SVD
   - F-LAF check (matching.cpp:192-249)
-The plane-and-parallax H-degeneracy recovery (DegUtils.c rFtH) is the
-remaining DEGENSAC piece, tracked for a later round.
+  - H-degeneracy handling (exp_ranF.c:959-1003): checksample on the
+    winning 7-sample (DegUtils.c:42), innerH local optimization
+    (DegUtils.c:693) and plane-and-parallax F recovery rFtH
+    (DegUtils.c:253) -- all as one branchless batched pass.
 """
 from __future__ import annotations
 
@@ -27,9 +29,132 @@ import numpy as np
 from ..config import RANSACPars
 from ..types import MatchResult, Tentatives
 from .homography import (MIN_POINTS, MWM, TC, ILSQ_ITERS, apply_h,
-                         msac_score, normalize_transform, trunc_quad)
+                         msac_score, normalize_transform, trunc_quad,
+                         _weighted_lsq_h)
 
 K_SIGMA = 2.0 * 3.0 * math.sqrt(3.0)
+
+# checksample index triples (DegUtils.c:43)
+_DEGEN_TRIPLES = np.array([[0, 1, 2], [3, 4, 5], [0, 1, 6],
+                           [3, 4, 6], [2, 5, 6]])
+
+
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _homog(xy: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
+
+
+def _epipole2(F: jnp.ndarray) -> jnp.ndarray:
+    """Epipole in image 2: null vector of F^T."""
+    _, _, Vt = jnp.linalg.svd(F.swapaxes(-1, -2))
+    return Vt[..., 2, :]
+
+
+def _h_transfer_sq(H: jnp.ndarray, xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
+    """Squared symmetric transfer error of a homography (DegUtils dHDs)."""
+    p = apply_h(H, xy1)
+    Hi = jnp.linalg.inv(H + 1e-12 * jnp.eye(3))
+    q = apply_h(Hi, xy2)
+    return (jnp.sum((p - xy2) ** 2, -1) + jnp.sum((q - xy1) ** 2, -1))
+
+
+def _hdetect(F: jnp.ndarray, xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
+    """Homography from F + 3 point correspondences (DegUtils.c Hdetect,
+    Hartley & Zisserman 'Scene planes and homographies' p.318):
+    H = A - e' b^T with A = [e']x F and b solved from the 3 points."""
+    e2 = _epipole2(F)
+    A = _skew(e2) @ F
+    x1 = _homog(xy1s)                                  # [3,3]
+    x2 = _homog(xy2s)
+    Ax = x1 @ A.T                                      # A x1, [3,3]
+    c1 = jnp.cross(x2, Ax)                             # x2 x (A x1)
+    c2 = jnp.cross(x2, jnp.broadcast_to(e2, x2.shape)) # x2 x e'
+    b = jnp.sum(c1 * c2, -1) / jnp.maximum(jnp.sum(c2 * c2, -1), 1e-30)
+    M = x1                                             # rows x1^T
+    bv = jnp.linalg.solve(M + 1e-12 * jnp.eye(3), b)
+    return A - jnp.outer(e2, bv)
+
+
+def _degeneracy_pass(F_in, sample_p_in, sample_q_in, xy1_in, xy2_in, valid,
+                     th_in, key, pp_batch: int = 256):
+    """DEGENSAC H-degeneracy handling (exp_ranF.c:959-1003), batched and
+    branchless: checksample on the winning 7-sample, H local-opt over all
+    correspondences (innerH), plane-and-parallax F recovery (rFtH).
+    Returns (F_pp, J_pp, degenerate) in the INPUT coordinate frame --
+    caller adopts F_pp when degenerate and better.
+
+    All DLT fits run in Hartley-normalized coordinates (float32 eigh of
+    the unnormalized 9x9 normal matrix is numerically useless at pixel
+    scale), mirroring the reference's normu inside u2h/u2f."""
+    vf = valid.astype(jnp.float32)
+    Ta = normalize_transform(xy1_in, vf)
+    Tb = normalize_transform(xy2_in, vf)
+    xy1n = apply_h(Ta, xy1_in)
+    xy2n = apply_h(Tb, xy2_in)
+    sample_p = apply_h(Ta, sample_p_in)
+    sample_q = apply_h(Tb, sample_q_in)
+    # F in the normalized frame: x2n^T F_n x1n = 0 with x_n = T x
+    Tai = jnp.linalg.inv(Ta)
+    Tbi = jnp.linalg.inv(Tb)
+    F_best = Tbi.T @ F_in @ Tai
+    th_n = th_in * Tb[0, 0] * Tb[0, 0]
+    M = xy1n.shape[0]
+    # --- checksample (DegUtils.c:42-81): 5 triples -> H, refit on the 5
+    # sample points closest to H, degenerate if >4 of 7 agree
+    Hs = jax.vmap(lambda t: _hdetect(F_best, sample_p[t], sample_q[t]))(
+        jnp.asarray(_DEGEN_TRIPLES))
+    d7 = jax.vmap(lambda H: _h_transfer_sq(H, sample_p, sample_q))(Hs)  # [5,7]
+    # top-5 closest sample points per H -> weighted DLT refit (u2h on 5)
+    rank = jnp.argsort(d7, axis=1)[:, :5]
+    w5 = jax.vmap(lambda r: jnp.zeros(7).at[r].set(1.0))(rank)
+    T7 = normalize_transform(sample_p, jnp.ones(7))
+    T7b = normalize_transform(sample_q, jnp.ones(7))
+    p7n = apply_h(T7, sample_p)
+    q7n = apply_h(T7b, sample_q)
+    Hs_fit = jax.vmap(lambda w: _weighted_lsq_h(p7n, q7n, w))(w5)
+    Hs_fit = jax.vmap(lambda H: jnp.linalg.inv(T7b) @ H @ T7)(Hs_fit)
+    d7f = jax.vmap(lambda H: _h_transfer_sq(H, sample_p, sample_q))(Hs_fit)
+    inl7 = jnp.sum(d7f < 3.0 * th_n * 2.0, axis=1)    # dHDs is a 2-sided sum
+    hi = jnp.argmax(inl7)
+    degenerate = inl7[hi] > 4
+    H0 = Hs_fit[hi]
+
+    # --- innerH (DegUtils.c:693): iterative weighted LSQ on H inliers
+    def inner_body(H, _):
+        d = _h_transfer_sq(H, xy1n, xy2n)
+        w = (valid & (d <= 16.0 * th_n * 2.0)).astype(jnp.float32)
+        Hn = _weighted_lsq_h(xy1n, xy2n, w)
+        return Hn, None
+    H_opt, _ = jax.lax.scan(inner_body, H0, None, length=4)
+    d_h = _h_transfer_sq(H_opt, xy1n, xy2n)
+    h_inl = valid & (d_h <= 3.0 * th_n * 2.0)
+
+    # --- rFtH (DegUtils.c:253): for off-plane points the lines
+    # x2 x (H x1) meet in the epipole; sample pairs, F = [e2]x H
+    off = valid & (d_h > 100.0 * th_n * 2.0)
+    lines = jnp.cross(_homog(xy2n), _homog(xy1n) @ H_opt.T)   # [M,3]
+    u = jax.random.uniform(key, (pp_batch, M))
+    u = jnp.where(off[None, :], u, -1.0)
+    _, pidx = jax.lax.approx_max_k(u, 2)
+    e2c = jnp.cross(lines[pidx[:, 0]], lines[pidx[:, 1]])     # [B,3]
+    e2c = e2c / jnp.maximum(jnp.linalg.norm(e2c, axis=-1, keepdims=True), 1e-30)
+    F_pp = _skew(e2c) @ H_opt                                  # [B,3,3]
+    d_pp = jax.vmap(lambda F: sampson_f_sq(F, xy1n, xy2n))(F_pp)
+    I_pp, J_pp = msac_score(d_pp, valid[None, :], th_n)
+    ok = jnp.sum(off) >= 2
+    J_pp = jnp.where(ok, J_pp, -1.0)
+    bi = jnp.argmax(J_pp)
+    F_out = Tb.T @ F_pp[bi] @ Ta                 # back to the input frame
+    nrm = jnp.linalg.norm(F_out)
+    F_out = F_out / jnp.where(nrm < 1e-12, 1.0, nrm)
+    return F_out, J_pp[bi], degenerate & (jnp.sum(h_inl) > 6)
 
 
 def f_rows(xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
@@ -85,7 +210,8 @@ def _cubic_roots(a, b, c, d):
     arg = jnp.clip(3 * q / (pc * m), -1.0, 1.0)
     theta = jnp.arccos(arg) / 3
     k = jnp.arange(3)
-    roots3 = m * jnp.cos(theta[..., None] - 2 * jnp.pi * k / 3) + shift[..., None]
+    roots3 = (m[..., None] * jnp.cos(theta[..., None] - 2 * jnp.pi * k / 3)
+              + shift[..., None])
     # single-root branch (disc > 0)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     u_ = jnp.cbrt(-q / 2 + sq)
@@ -175,9 +301,10 @@ def _iter_lsq_f(xy1n, xy2n, valid, F0, th_n, steps: int):
     return jnp.where(better, F, bestF), jnp.where(better, J, bestJ)
 
 
-@partial(jax.jit, static_argnames=("batch", "lo_batch", "do_symm_check"))
+@partial(jax.jit, static_argnames=("batch", "lo_batch", "do_symm_check",
+                                   "do_degen"))
 def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
-                   do_symm_check: bool):
+                   do_symm_check: bool, do_degen: bool = True):
     M = xy1.shape[0]
     vf = valid.astype(jnp.float32)
     T1 = normalize_transform(xy1, vf)
@@ -186,7 +313,7 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     xy2n = apply_h(T2, xy2)
     th_n = th * T2[0, 0] * T2[0, 0]
 
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     u = jax.random.uniform(k1, (batch, M))
     u = jnp.where(valid[None, :], u, -1.0)
     _, sidx = jax.lax.approx_max_k(u, 7)   # distinct uniform 7-subsets
@@ -197,6 +324,9 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     Fs_flat = Fs.reshape(batch * 3, 3, 3)
     rep = lambda x: jnp.repeat(x, 3, axis=0)
     ok_or = jax.vmap(_oriented_f_ok)(Fs_flat, rep(p), rep(q))
+    # NaN cubic roots were zeroed above; an (all-zero) F has zero Sampson
+    # error everywhere and must not win
+    ok_or = ok_or & (jnp.linalg.norm(Fs_flat.reshape(-1, 9), axis=1) > 1e-8)
     d = jax.vmap(lambda F: sampson_f_sq(F, xy1n, xy2n))(Fs_flat)
     I, J = msac_score(d, valid[None, :], th_n)
     if do_symm_check:
@@ -206,6 +336,15 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     J = jnp.where(ok_or, J, -1.0)
     best = jnp.argmax(J)
     F_best = Fs_flat[best]
+
+    if do_degen:
+        # DEGENSAC: if the winning sample is H-degenerate, recover F by
+        # plane-and-parallax and adopt it when it scores better
+        # (exp_ranF.c:959-1003)
+        F_pp, J_pp, is_degen = _degeneracy_pass(
+            F_best, p[best // 3], q[best // 3], xy1n, xy2n, valid, th_n, k3)
+        adopt = is_degen & (J_pp > J[best])
+        F_best = jnp.where(adopt, F_pp, F_best)
 
     # LO: LSQ on generous inliers + subset batch
     d_best = sampson_f_sq(F_best, xy1n, xy2n)
@@ -272,7 +411,8 @@ def loransac_f(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
     th = jnp.float32(pars.err_threshold ** 2)
     F, inl, I, J = _ransac_f_core(t.xy1, t.xy2, t.valid, th, key,
                                   pars.batch_hypotheses, pars.lo_batch,
-                                  bool(pars.doSymmCheck))
+                                  bool(pars.doSymmCheck),
+                                  bool(pars.doDegeneracyCheck))
     keep = inl
     if pars.LAFCoef > 0:
         laf_th = jnp.float32(pars.LAFCoef * pars.err_threshold)
