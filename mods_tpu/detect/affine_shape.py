@@ -102,6 +102,24 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
     if not par.doBaumberg:
         return jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1)), valid
 
+    if engine == "pallas":
+        # whole SMM iteration inside one Pallas kernel: the per-keypoint
+        # window is DMA'd to VMEM once and all iterations run on-chip
+        # (ops/pallas_patch.py), vs. re-reading HBM windows per iteration.
+        from ..ops import pallas_patch as pp
+        from ..ops import patch_engine as pe
+        H, W = blurs.shape[-2], blurs.shape[-1]
+        xy = jnp.stack([lx, ly], -1)
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 128)
+        params = jnp.stack([
+            lx - wox, ly - woy, ratio, valid.astype(jnp.float32),
+            wox.astype(jnp.float32), woy.astype(jnp.float32),
+            jnp.full((n,), W, jnp.float32), jnp.full((n,), H, jnp.float32)],
+            -1)
+        U, ok = pp.baumberg_pallas(wins, params, mask, ws, max_iter,
+                                   float(conv))
+        return U, ok & valid
+
     if engine:
         # gather-free path: crop one generous window per keypoint, then
         # every iteration resamples it with hat-matrix contractions

@@ -36,9 +36,14 @@ def orientation_histogram(patches: jnp.ndarray, mask: jnp.ndarray,
     # skip first & last row (reference starts at ptr<float>(1), maskPixels
     # = cols*(rows-2))
     w = w.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
-    oh = jax.vmap(lambda bb, ww: jnp.zeros(BINS + 1).at[bb].add(ww))(
-        b.reshape(b.shape[0], -1), w.reshape(w.shape[0], -1))
-    hist = oh[:, :BINS]
+    # bincount as a fused compare-multiply-reduce (XLA fuses the one-hot
+    # compare into the reduction without materializing it); scatter-add
+    # lowers to a serialized sort-based path on TPU.
+    bf = b.reshape(b.shape[0], -1)
+    wf = w.reshape(w.shape[0], -1)
+    bins = jnp.arange(BINS, dtype=jnp.int32)
+    hist = jnp.sum(wf[:, :, None] * (bf[:, :, None] == bins[None, None, :]),
+                   axis=1)
     # 6 rounds of circular [1,1,1] box smoothing (smoothCircularBuffer)
     for _ in range(6):
         hist = jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)

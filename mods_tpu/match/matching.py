@@ -20,23 +20,34 @@ from ..config import MatchPars
 from ..types import Features, Tentatives
 
 
-def distance_matrix_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def distance_matrix_sq(a: jnp.ndarray, b: jnp.ndarray,
+                       int_exact: bool = False) -> jnp.ndarray:
     """[N,D]x[M,D] -> [N,M] squared L2 via |a|^2+|b|^2-2ab on the MXU.
-    HIGHEST precision: descriptor values are 0..255 with 512-norm, so f32
-    accumulate keeps the FGINN ratios faithful to the reference."""
+
+    int_exact=True runs the cross term in bf16 x bf16 -> f32-accumulate:
+    SIFT-family descriptor entries are integers in 0..255 (512-norm uint8
+    quantization, siftdesc.cpp:247-278), which bf16 represents EXACTLY
+    (<= 8 significand bits); each product (<= 65025) and 128-term f32
+    accumulation (< 2^24) is exact too — bitwise-identical distances at
+    native MXU throughput.  Float-valued (CNN) descriptors use the
+    HIGHEST-precision f32 path instead."""
     aa = jnp.sum(a * a, axis=1, keepdims=True)
     bb = jnp.sum(b * b, axis=1, keepdims=True)
-    ab = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=jnp.float32)
+    if int_exact:
+        ab = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    else:
+        ab = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
     return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
 
 
-@partial(jax.jit, static_argnames=("nn",))
+@partial(jax.jit, static_argnames=("nn", "int_exact"))
 def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
-                nn: int):
+                nn: int, int_exact: bool = False):
     """Returns per-query (accept, idx0, d1, d2) under FGINN semantics."""
     big = jnp.float32(1e12)
-    d = distance_matrix_sq(desc1, desc2)
+    d = distance_matrix_sq(desc1, desc2, int_exact)
     d = jnp.where(valid2[None, :], d, big)
     k = min(nn, desc2.shape[0])
     # TPU-native PartialReduce top-k (jax.lax.approx_min_k): orders of
@@ -69,11 +80,15 @@ def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
 
 
 def match_fginn(f1: Features, f2: Features, par: MatchPars,
-                ratio_th: float) -> Tentatives:
-    """Tentative correspondences list1 -> list2 (queries are image 1)."""
+                ratio_th: float, int_exact: bool = False) -> Tentatives:
+    """Tentative correspondences list1 -> list2 (queries are image 1).
+
+    int_exact: set for integer-quantized (SIFT-family) descriptors to use
+    the exact bf16 MXU fast path in distance_matrix_sq."""
     accept, i0, d1, d2 = _fginn_core(
         f1.desc, f1.valid, f2.desc, f2.valid, f2.reproj.xy,
-        jnp.float32(ratio_th), jnp.float32(par.contradDist), par.knn)
+        jnp.float32(ratio_th), jnp.float32(par.contradDist), par.knn,
+        int_exact)
     r = f2.reproj
     q = f1.reproj
     return Tentatives(
@@ -150,14 +165,25 @@ def duplicate_filter(t: Tentatives, r: float, mode: str = "bestFGINN",
 
     d1 = jnp.sum((ts.xy1[:, None, :] - ts.xy1[None, :, :]) ** 2, -1)
     d2 = jnp.sum((ts.xy2[:, None, :] - ts.xy2[None, :, :]) ** 2, -1)
-    close = (d1 <= r * r) & (d2 <= r * r)
+    lt = jnp.arange(m)[:, None] < jnp.arange(m)[None, :]   # j < i (row j)
+    close_lt = (d1 <= r * r) & (d2 <= r * r) & lt
 
-    def body(i, keep):
-        # if i is kept, kill all later j that are close to i
-        kill = close[i] & (jnp.arange(m) > i) & keep[i]
-        return keep & ~kill
+    # Greedy suppression as a Jacobi fixpoint: keep[i] iff no kept earlier
+    # j is close to i.  keep[i] depends only on keep[j<i] (a DAG), so each
+    # sweep finalizes one more dependency level; duplicate chains are a
+    # few deep in practice, and the fixpoint equals the reference's
+    # sequential greedy scan (matching.cpp:2615-2679) exactly.
+    def cond(state):
+        keep, changed = state
+        return changed
 
-    keep = jax.lax.fori_loop(0, m, body, ts.valid)
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(close_lt & keep[:, None], axis=0)
+        new = ts.valid & ~suppressed
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (ts.valid, jnp.bool_(True)))
     ts = Tentatives(ts.xy1, ts.xy2, ts.A1, ts.A2, ts.s1, ts.s2,
                     ts.d1, ts.d2, ts.ratio, keep)
     return ts

@@ -45,10 +45,11 @@ def _detect_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Keypoints:
     min_size = 2 * py.border + 2
     per_octave = []
     oct_i = 0
+    engine = "pallas" if jax.default_backend() == "tpu" else True
     while first.shape[-2] > min_size and first.shape[-1] > min_size:
         cap = max(128, cfg.max_octave_cands >> oct_i)
         kp, first, _ = _detect_octave(first, par, py.initialSigma,
-                                      pixel_distance, cap, engine=True)
+                                      pixel_distance, cap, engine=engine)
         per_octave.append(kp)
         pixel_distance *= 2.0
         oct_i += 1
@@ -129,7 +130,7 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
 def _match_pair_impl(img1, img2, key, cfg: Config, max_kp: int):
     f1 = extract_jit(img1, cfg, max_kp)
     f2 = extract_jit(img2, cfg, max_kp)
-    t = match_fginn(f1, f2, cfg.matching, 0.8)
+    t = match_fginn(f1, f2, cfg.matching, 0.8, int_exact=True)
     t = duplicate_filter(t, cfg.filtering.duplicateDist, cfg.filtering.mode,
                          cap=2048)
     th = jnp.float32(cfg.ransac.err_threshold ** 2)

@@ -1,0 +1,308 @@
+"""Pallas TPU kernels for affine patch sampling and Baumberg adaptation.
+
+The XLA formulation in ops/patch_engine.py expresses bilinear resampling
+as hat-matrix (tent-weight) contractions; correct, but the [n, P, P, W]
+hat tensors materialize in HBM (hundreds of MB per call) and dominate the
+pipeline on real hardware.  These kernels keep the whole resample in
+VMEM: per block of K keypoints, the cropped windows live in VMEM, the
+hat matrices are built and consumed in-register, and only the [K, P, P]
+patches (or the final 2x2 Baumberg U) ever touch HBM.
+
+reference semantics preserved:
+ - exact bilinear with zero outside the image / window
+   (helpers.cpp:551-664 interpolate, boundary branch)
+ - Baumberg SMM loop accept/reject ordering (affine.cpp:26-158)
+
+Used on the TPU backend only; ops/patch_engine.py remains the
+platform-independent fallback (tests run it on CPU).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------- #
+# Generic hat-resample kernel
+# --------------------------------------------------------------------------- #
+# params columns (float32):
+#  0: cxl   patch centre x in window-local coords
+#  1: cyl   patch centre y in window-local coords
+#  2..5: a00, a01, a10, a11   (pixel step per output (col i, row j))
+#  6: ox    window origin x (level coords)
+#  7: oy    window origin y
+#  8: lw    level width  (for the < lw-1 bounds test)
+#  9: lh    level height
+N_PARAMS = 16  # padded for SMEM friendliness
+
+
+def _resample_kernel(params_ref, wins_ref, out_ref, *, K: int, P: int, W: int):
+    P2 = P * P
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    # flat output index -> (row j, col i), both centred at P//2
+    flat_i = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
+    c = float(P // 2)
+    jg = (flat_i // P).astype(jnp.float32) - c            # row (y direction)
+    ig = (flat_i % P).astype(jnp.float32) - c             # col (x direction)
+
+    for k in range(K):
+        cxl = params_ref[k, 0]
+        cyl = params_ref[k, 1]
+        a00 = params_ref[k, 2]
+        a01 = params_ref[k, 3]
+        a10 = params_ref[k, 4]
+        a11 = params_ref[k, 5]
+        ox = params_ref[k, 6]
+        oy = params_ref[k, 7]
+        lw = params_ref[k, 8]
+        lh = params_ref[k, 9]
+
+        px = cxl + ig * a00 + jg * a01       # [P2, 1] window-local x
+        py = cyl + ig * a10 + jg * a11
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - xs))     # [P2, W]
+        rows = jnp.dot(haty, wins_ref[k],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # [P2, W]
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
+        vals = jnp.sum(rows * hatx, axis=1, keepdims=True)  # [P2, 1]
+        gx = px + ox
+        gy = py + oy
+        inb = ((gx >= 0.0) & (gy >= 0.0) &
+               (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
+               (px > -1.0) & (py > -1.0) & (px < W) & (py < W))
+        out_ref[k, :] = jnp.where(inb, vals, 0.0)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("P", "block_k"))
+def hat_resample(wins: jnp.ndarray, params: jnp.ndarray, P: int,
+                 block_k: int = 8) -> jnp.ndarray:
+    """wins [n, W, W] f32 + params [n, >=10] -> patches [n, P, P]."""
+    n, W, _ = wins.shape
+    K = block_k
+    npad = (-n) % K
+    if npad:
+        wins = jnp.concatenate(
+            [wins, jnp.zeros((npad, W, W), wins.dtype)], 0)
+        params = jnp.concatenate(
+            [params, jnp.ones((npad, params.shape[1]), params.dtype)], 0)
+    ntot = n + npad
+    if params.shape[1] < N_PARAMS:
+        params = jnp.pad(params, ((0, 0), (0, N_PARAMS - params.shape[1])))
+
+    out = pl.pallas_call(
+        functools.partial(_resample_kernel, K=K, P=P, W=W),
+        grid=(ntot // K,),
+        in_specs=[
+            pl.BlockSpec((K, N_PARAMS), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, W, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, P * P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntot, P * P), jnp.float32),
+        interpret=_use_interpret(),
+    )(params, wins)
+    return out[:n].reshape(n, P, P)
+
+
+# --------------------------------------------------------------------------- #
+# Baumberg kernel: the full SMM iteration in VMEM
+# --------------------------------------------------------------------------- #
+# params columns:
+#  0: cxl  keypoint x in window-local coords
+#  1: cyl
+#  2: ratio  (scale / initialSigma; iteration A = u * ratio)
+#  3: valid (1.0 / 0.0)
+#  4: ox   5: oy   6: lw   7: lh    (bounds, level coords)
+def _baumberg_kernel(params_ref, wins_ref, mask_ref, out_ref, ok_ref,
+                     *, K: int, ws: int, W: int, max_iter: int, conv: float):
+    """Per keypoint: iterate u <- invsqrt(SMM(sample(u*ratio))) . u."""
+    ws2 = ws * ws
+    n_mask = float(ws * ws)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    flat_i = jax.lax.broadcasted_iota(jnp.int32, (ws2, 1), 0)
+    c = float(ws // 2)
+    jg = (flat_i // ws).astype(jnp.float32) - c
+    ig = (flat_i % ws).astype(jnp.float32) - c
+
+    for k in range(K):
+        cxl = params_ref[k, 0]
+        cyl = params_ref[k, 1]
+        ratio = params_ref[k, 2]
+        valid0 = params_ref[k, 3] > 0.5
+        ox = params_ref[k, 4]
+        oy = params_ref[k, 5]
+        lw = params_ref[k, 6]
+        lh = params_ref[k, 7]
+        win = wins_ref[k]
+
+        def sample(u11, u12, u21, u22):
+            a00 = u11 * ratio
+            a01 = u12 * ratio
+            a10 = u21 * ratio
+            a11_ = u22 * ratio
+            px = cxl + ig * a00 + jg * a01
+            py = cyl + ig * a10 + jg * a11_
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - xs))
+            rows = jnp.dot(haty, win,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
+            vals = jnp.sum(rows * hatx, axis=1, keepdims=True)
+            gx = px + ox
+            gy = py + oy
+            inb = ((gx >= 0.0) & (gy >= 0.0) &
+                   (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
+                   (px > -1.0) & (py > -1.0) & (px < W) & (py < W))
+            patch = jnp.where(inb, vals, 0.0)
+            return patch.reshape(ws, ws)
+
+        def gradient(img):
+            # un-normalized central diff, one-sided at borders
+            # (helpers.cpp:779-797 semantics, as ops/image.compute_gradient)
+            left = img[:, 1:2] - img[:, 0:1]
+            right = img[:, -1:] - img[:, -2:-1]
+            mid_x = img[:, 2:] - img[:, :-2]
+            gx = jnp.concatenate([left, mid_x, right], axis=1)
+            top = img[1:2, :] - img[0:1, :]
+            bot = img[-1:, :] - img[-2:-1, :]
+            mid_y = img[2:, :] - img[:-2, :]
+            gy = jnp.concatenate([top, mid_y, bot], axis=0)
+            return gx, gy
+
+        def iteration(carry, _):
+            (u11, u12, u21, u22, ratio_bef, done, ok,
+             o11, o12, o21, o22) = carry
+            img = sample(u11, u12, u21, u22)
+            fx, fy = gradient(img)
+            m = mask_ref[:]
+            a = jnp.sum(fx * fx * m) / n_mask
+            b = jnp.sum(fx * fy * m) / n_mask
+            cc = jnp.sum(fy * fy * m) / n_mask
+            # inv sqrt of SPD [[a,b],[b,cc]], det-1 (helpers.cpp:463-502)
+            r_ = jnp.where(b != 0.0, (cc - a) / (2.0 * b), 1.0)
+            t = jnp.where(
+                b != 0.0,
+                jnp.where(r_ >= 0, 1.0 / (r_ + jnp.sqrt(1.0 + r_ * r_)),
+                          -1.0 / (-r_ + jnp.sqrt(1.0 + r_ * r_))),
+                0.0)
+            rr = jnp.where(b != 0.0, jax.lax.rsqrt(1.0 + t * t), 1.0)
+            tt = t * rr
+            x = jax.lax.rsqrt(rr * rr * a - 2.0 * rr * tt * b + tt * tt * cc)
+            z = jax.lax.rsqrt(tt * tt * a + 2.0 * rr * tt * b + rr * rr * cc)
+            d = jnp.sqrt(x * z)
+            x = x / d
+            z = z / d
+            l1 = jnp.maximum(x, z)
+            l2 = jnp.minimum(x, z)
+            na = rr * rr * x + tt * tt * z
+            nb = -rr * tt * x + tt * rr * z
+            nc = tt * tt * x + rr * rr * z
+            nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
+            ratio_act = 1.0 - l2 / l1
+            # u_new = [[na, nb], [nb, nc]] @ u
+            v11 = na * u11 + nb * u21
+            v12 = na * u12 + nb * u22
+            v21 = nb * u11 + nc * u21
+            v22 = nb * u12 + nc * u22
+            # eigenvalues of u_new (helpers.cpp:504-515)
+            trace = v11 + v22
+            delta1 = trace * trace - 4.0 * (v11 * v22 - v12 * v21)
+            eok = delta1 >= 0.0
+            delta = jnp.sqrt(jnp.maximum(delta1, 0.0))
+            e1 = (trace + delta) / 2.0
+            e2 = (trace - delta) / 2.0
+            aniso_bad = (~eok) | (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
+            converged = (ratio_act < conv) & (ratio_bef < conv)
+            accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
+            reject_now = (~done) & (nan_bad | aniso_bad)
+            o11 = jnp.where(accept_now, v11, o11)
+            o12 = jnp.where(accept_now, v12, o12)
+            o21 = jnp.where(accept_now, v21, o21)
+            o22 = jnp.where(accept_now, v22, o22)
+            ok = ok | accept_now
+            done2 = done | accept_now | reject_now
+            u11n = jnp.where(done, u11, v11)
+            u12n = jnp.where(done, u12, v12)
+            u21n = jnp.where(done, u21, v21)
+            u22n = jnp.where(done, u22, v22)
+            rb = jnp.where(done, ratio_bef, ratio_act)
+            return (u11n, u12n, u21n, u22n, rb, done2, ok,
+                    o11, o12, o21, o22)
+
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        init = (one, zero, zero, one, zero, ~valid0, jnp.bool_(False),
+                one, zero, zero, one)
+
+        # fori over max_iter; lax.cond skips the sampling matmul entirely
+        # for finished keypoints (per-kp early exit).
+        def body2(i, carry):
+            return jax.lax.cond(carry[5], lambda c: c,
+                                lambda c: iteration(c, i), carry)
+
+        final = jax.lax.fori_loop(0, max_iter, body2, init)
+        (_, _, _, _, _, _, ok, o11, o12, o21, o22) = final
+        out_ref[k, 0] = o11
+        out_ref[k, 1] = o12
+        out_ref[k, 2] = o21
+        out_ref[k, 3] = o22
+        ok_ref[k, 0] = jnp.where(ok, 1.0, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ws", "max_iter", "conv", "block_k"))
+def baumberg_pallas(wins: jnp.ndarray, params: jnp.ndarray,
+                    mask: jnp.ndarray, ws: int, max_iter: int,
+                    conv: float, block_k: int = 8
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """wins [n, W, W], params [n, >=8], mask [ws, ws]
+    -> (U [n, 2, 2], ok [n] bool)."""
+    n, W, _ = wins.shape
+    K = block_k
+    npad = (-n) % K
+    if npad:
+        wins = jnp.concatenate([wins, jnp.zeros((npad, W, W), wins.dtype)], 0)
+        params = jnp.concatenate(
+            [params, jnp.zeros((npad, params.shape[1]), params.dtype)], 0)
+    ntot = n + npad
+    if params.shape[1] < N_PARAMS:
+        params = jnp.pad(params, ((0, 0), (0, N_PARAMS - params.shape[1])))
+
+    out, okf = pl.pallas_call(
+        functools.partial(_baumberg_kernel, K=K, ws=ws, W=W,
+                          max_iter=max_iter, conv=conv),
+        grid=(ntot // K,),
+        in_specs=[
+            pl.BlockSpec((K, N_PARAMS), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, W, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, ws), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((K, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntot, 4), jnp.float32),
+            jax.ShapeDtypeStruct((ntot, 1), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(params, wins, mask)
+    U = out[:n].reshape(n, 2, 2)
+    return U, okf[:n, 0] > 0.5

@@ -166,6 +166,8 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
         oy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - win // 2, 0,
                       jnp.maximum(lhv - win, 0))
 
+        use_pallas = jax.default_backend() == "tpu"
+
         def level_sample(lv):
             scale_l = spacing_arr[lv]
             shift_l = (scale_l - 1.0) / 2.0
@@ -181,6 +183,17 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
             def crop(l, y0, x0):
                 return jax.lax.dynamic_slice(pyr, (l, y0, x0), (1, win, win))[0]
             wins = jax.vmap(crop)(lv, oy, ox)
+            if use_pallas:
+                # VMEM-resident hat contraction (ops/pallas_patch.py):
+                # identical bilinear semantics, no HBM hat tensors.
+                from . import pallas_patch as pp
+                params = jnp.stack([
+                    cx - ox, cy - oy,
+                    A[:, 0, 0] / scale_l, A[:, 0, 1] / scale_l,
+                    A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
+                    ox.astype(jnp.float32), oy.astype(jnp.float32),
+                    lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
+                return pp.hat_resample(wins, params, out_size)
             ii = jnp.arange(out_size, dtype=jnp.float32) - c
             jg, ig = jnp.meshgrid(ii, ii, indexing="ij")
             sx = scale_l[:, None, None]

@@ -178,7 +178,11 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
                 from .types import concat_keypoints
                 f1 = _concat_features(f1l)
                 f2 = _concat_features(f2l)
-                t = match_fginn(f1, f2, cfg.matching, ratio)
+                # SIFT-family descriptors are integer-quantized -> exact
+                # bf16 MXU distances; CNN (ZMQ) descriptors are floats.
+                is_int = desc not in ("ZMQ", "HardNet", "HardNetTPU")
+                t = match_fginn(f1, f2, cfg.matching, ratio,
+                                int_exact=is_int)
                 all_tents[(det, desc)] = t
         tl.MatchTime += time.time() - t0
 

@@ -211,8 +211,16 @@ def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
     p = xy1n[sidx]                            # [B,4,2]
     q = xy2n[sidx]
     A = dlt_rows(p, q).reshape(batch, 8, 9)
-    Hb = h_from_rows(A)                       # [B,3,3]
-    ok = _oriented_ok(p, q, Hb)
+    # minimal 4-point sample: the nullspace is unique up to scale, so pin
+    # h33 = 1 and solve the 8x8 system (batched LU) — same H as the
+    # smallest-singular-vector route at a fraction of the cost of a
+    # batched 9x9 eigendecomposition; h33 ~ 1 is generic in Hartley-
+    # normalized coordinates, and singular samples produce non-finite H
+    # rejected below.
+    h8 = jnp.linalg.solve(A[:, :, :8], -A[:, :, 8:9])[..., 0]
+    Hb = jnp.concatenate([h8, jnp.ones((batch, 1), h8.dtype)],
+                         -1).reshape(batch, 3, 3)
+    ok = _oriented_ok(p, q, Hb) & jnp.all(jnp.isfinite(Hb), axis=(1, 2))
     db = jax.vmap(lambda H: sampson_h_sq(H, xy1n, xy2n))(Hb)   # [B,M]
     Ib, Jb = msac_score(db, valid[None, :], th_n)
     Jb = jnp.where(ok, Jb, -1.0)
