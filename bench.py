@@ -6,6 +6,11 @@ Prints one JSON line:
 
 Baseline: the reference's classic golden run is 1.25 s per pair on a
 4-thread CPU (BASELINE.md) => 0.8 pairs/s.  vs_baseline = value / 0.8.
+
+Throughput is measured with B pairs per device dispatch (lax.map inside
+one jit): the serving-relevant regime, and it amortizes the ~30 ms
+per-dispatch round trip of the axon TPU relay that would otherwise
+dominate single-pair latency.
 """
 import json
 import os
@@ -15,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PAIRS_PER_S = 1.0 / 1.25
+BATCH = 8
 
 
 def main():
@@ -28,30 +34,39 @@ def main():
     import cv2
 
     from mods_tpu.config import load_config
-    from mods_tpu.models.flagship import match_pair_fn
+    from mods_tpu.models.flagship import match_pair_fn, match_pairs_fn
 
     cfg = load_config("/root/reference/build/config_affori_classic.ini",
                       "/root/reference/build/iters_HessianSIFT.ini")
     cfg.max_octave_cands = 4096
-    fn = match_pair_fn(cfg, max_kp=4096)
+    max_kp = 4096
 
     img1 = cv2.imread("/root/reference/build/imgs/graf1.png").astype(np.float32).mean(axis=2)
     img2 = cv2.imread("/root/reference/build/imgs/graf6.png").astype(np.float32).mean(axis=2)
     i1 = jnp.asarray(img1)
     i2 = jnp.asarray(img2)
-    key = jax.random.PRNGKey(0)
 
-    # warm-up / compile
-    out = jax.block_until_ready(fn(i1, i2, key))
+    # correctness probe: single-pair inlier count on the golden pair
+    fn1 = match_pair_fn(cfg, max_kp=max_kp)
+    out = fn1(i1, i2, jax.random.PRNGKey(0))
     n_inl = int(out[1])
 
-    reps = 5
+    # throughput: B pairs per dispatch
+    fnB = match_pairs_fn(cfg, max_kp=max_kp)
+    imgs1 = jnp.broadcast_to(i1, (BATCH,) + i1.shape)
+    imgs2 = jnp.broadcast_to(i2, (BATCH,) + i2.shape)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(BATCH, dtype=jnp.uint32))
+
+    out = fnB(imgs1, imgs2, keys)
+    _ = int(out[1][0])            # warm-up + forced sync
+
+    reps = 4
     t0 = time.time()
     for r in range(reps):
-        out = fn(i1, i2, jax.random.PRNGKey(r))
-        n_inl = int(out[1])   # force device sync (block_until_ready is
-        #                       unreliable through the axon relay)
-    dt = (time.time() - t0) / reps
+        out = fnB(imgs1, imgs2, keys)
+        _ = int(out[1][0])        # force device sync (block_until_ready is
+        #                           unreliable through the axon relay)
+    dt = (time.time() - t0) / (reps * BATCH)
     pairs_per_s = 1.0 / dt
 
     print(json.dumps({
@@ -61,6 +76,7 @@ def main():
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
         "inliers": n_inl,
         "pair_time_s": round(dt, 4),
+        "batch": BATCH,
     }))
 
 

@@ -110,7 +110,10 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         from ..ops import patch_engine as pe
         H, W = blurs.shape[-2], blurs.shape[-1]
         xy = jnp.stack([lx, ly], -1)
-        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 128)
+        # 96 covers the worst admissible footprint (9.5 px half-patch x
+        # ratio <= 2.05 x anisotropy sqrt(6) ~= 48); smaller windows cut
+        # the per-iteration MXU contraction quadratically
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 96)
         params = jnp.stack([
             lx - wox, ly - woy, ratio, valid.astype(jnp.float32),
             wox.astype(jnp.float32), woy.astype(jnp.float32),
@@ -126,7 +129,7 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         # (ops/patch_engine.py) instead of 19x19x4 scalar gathers.
         from ..ops import patch_engine as pe
         xy = jnp.stack([lx, ly], -1)
-        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 128)
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 96)
         H, W = blurs.shape[-2], blurs.shape[-1]
 
         def sample_all(A_all):

@@ -126,8 +126,7 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
     return Features(det=kp_o, reproj=kp_o, desc=desc)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_kp"))
-def _match_pair_impl(img1, img2, key, cfg: Config, max_kp: int):
+def _match_pair_body(img1, img2, key, cfg: Config, max_kp: int):
     f1 = extract_jit(img1, cfg, max_kp)
     f2 = extract_jit(img2, cfg, max_kp)
     t = match_fginn(f1, f2, cfg.matching, 0.8, int_exact=True)
@@ -138,6 +137,21 @@ def _match_pair_impl(img1, img2, key, cfg: Config, max_kp: int):
                                   cfg.ransac.batch_hypotheses,
                                   cfg.ransac.lo_batch, cfg.ransac.errorType)
     return H, jnp.sum(inl), t.count(), f1.count(), f2.count()
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_kp"))
+def _match_pair_impl(img1, img2, key, cfg: Config, max_kp: int):
+    return _match_pair_body(img1, img2, key, cfg, max_kp)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_kp"))
+def _match_pairs_impl(imgs1, imgs2, keys, cfg: Config, max_kp: int):
+    """B pairs in ONE dispatch via lax.map (sequential on device, flat
+    memory).  Amortizes the host->device dispatch round trip — the axon
+    relay costs ~30 ms per call, which dominates single-pair latency."""
+    return jax.lax.map(
+        lambda args: _match_pair_body(args[0], args[1], args[2], cfg, max_kp),
+        (imgs1, imgs2, keys))
 
 
 class FrozenConfig:
@@ -174,4 +188,14 @@ def match_pair_fn(cfg: Config, max_kp: int = 4096):
 
     def fn(img1, img2, key):
         return _match_pair_impl(img1, img2, key, fc, max_kp)
+    return fn
+
+
+def match_pairs_fn(cfg: Config, max_kp: int = 4096):
+    """Batched variant: fn(imgs1 [B,H,W], imgs2 [B,H,W], keys [B,2]) ->
+    per-pair (H, n_inliers, n_tent, n1, n2), one device dispatch."""
+    fc = FrozenConfig(cfg)
+
+    def fn(imgs1, imgs2, keys):
+        return _match_pairs_impl(imgs1, imgs2, keys, fc, max_kp)
     return fn

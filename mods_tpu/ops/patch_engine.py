@@ -193,7 +193,11 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                     A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
                     ox.astype(jnp.float32), oy.astype(jnp.float32),
                     lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
-                return pp.hat_resample(wins, params, out_size)
+                # Mosaic supports DEFAULT (1 bf16 MXU pass) or HIGHEST
+                # (6 passes) only; DEFAULT's ~0.2% sample error washes out
+                # in the gradient histograms all consumers compute.
+                return pp.hat_resample(wins, params, out_size,
+                                       precision=jax.lax.Precision.DEFAULT)
             ii = jnp.arange(out_size, dtype=jnp.float32) - c
             jg, ig = jnp.meshgrid(ii, ii, indexing="ij")
             sx = scale_l[:, None, None]

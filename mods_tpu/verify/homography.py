@@ -112,6 +112,17 @@ def symm_transfer_sq(H: jnp.ndarray, Hi: jnp.ndarray, xy1, xy2, reduce="sum"):
     return fwd + bwd
 
 
+def naive_h_check(t, H, error: float):
+    """Symmetric-reprojection sanity counter (matching.cpp:1014-1043
+    NaiveHCheck): count correspondences whose forward AND backward
+    transfer errors are both <= error px."""
+    H = jnp.asarray(H, jnp.float32)
+    Hi = jnp.linalg.inv(H)
+    d1 = jnp.sum((apply_h(H, t.xy1) - t.xy2) ** 2, -1)
+    d2 = jnp.sum((apply_h(Hi, t.xy2) - t.xy1) ** 2, -1)
+    return jnp.sum(t.valid & (d1 <= error * error) & (d2 <= error * error))
+
+
 def h_error_sq(H: jnp.ndarray, xy1, xy2, error_type: str):
     if error_type == "Sampson":
         return sampson_h_sq(H, xy1, xy2)
