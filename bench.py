@@ -47,9 +47,15 @@ def main():
     i2 = jnp.asarray(img2)
 
     # correctness probe: single-pair inlier count on the golden pair
+    # (also measures single-pair latency — a different regime from the
+    # batched headline throughput; both are reported)
     fn1 = match_pair_fn(cfg, max_kp=max_kp)
     out = fn1(i1, i2, jax.random.PRNGKey(0))
     n_inl = int(out[1])
+    t0 = time.time()
+    out = fn1(i1, i2, jax.random.PRNGKey(0))
+    _ = int(out[1])
+    single_pair_s = time.time() - t0
 
     # throughput: B pairs per dispatch
     fnB = match_pairs_fn(cfg, max_kp=max_kp)
@@ -76,6 +82,7 @@ def main():
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
         "inliers": n_inl,
         "pair_time_s": round(dt, 4),
+        "single_pair_time_s": round(single_pair_s, 4),
         "batch": BATCH,
     }))
 

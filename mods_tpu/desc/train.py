@@ -58,6 +58,39 @@ def hardnet_embed(params: Dict, patches: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.sqrt(jnp.sum(x * x, 1, keepdims=True) + 1e-10)
 
 
+def hardnet_embed_train(params: Dict, patches: jnp.ndarray,
+                        momentum: float = 0.1
+                        ) -> Tuple[jnp.ndarray, Dict]:
+    """Training-mode forward: BatchNorm uses BATCH statistics and returns
+    updated running stats (torch BatchNorm2d semantics, momentum 0.1,
+    affine=False as in the reference nets, desc_server.py:57-92)."""
+    from .cnn import _conv
+    x = patches[:, None, :, :]
+    x = _input_norm(x)
+    new_stats: Dict[str, jnp.ndarray] = {}
+    for idx, kind, stride, pad, relu in _HARDNET_SPEC:
+        if kind == "conv":
+            x = _conv(x, params[f"w{idx}"], None, stride, pad)
+        elif kind == "bn":
+            mean = jnp.mean(x, axis=(0, 2, 3))
+            var = jnp.var(x, axis=(0, 2, 3))
+            n = x.shape[0] * x.shape[2] * x.shape[3]
+            var_unb = var * n / max(n - 1, 1)
+            new_stats[f"bn{idx}_mean"] = ((1 - momentum) *
+                                          params[f"bn{idx}_mean"]
+                                          + momentum * mean)
+            new_stats[f"bn{idx}_var"] = ((1 - momentum) *
+                                         params[f"bn{idx}_var"]
+                                         + momentum * var_unb)
+            x = ((x - mean[None, :, None, None])
+                 * jax.lax.rsqrt(var[None, :, None, None] + 1e-5))
+        if relu:
+            x = jnp.maximum(x, 0.0)
+    x = x.reshape(x.shape[0], -1)
+    emb = x / jnp.sqrt(jnp.sum(x * x, 1, keepdims=True) + 1e-10)
+    return emb, new_stats
+
+
 def triplet_margin_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
                         margin: float = 1.0) -> jnp.ndarray:
     """HardNet hardest-in-batch loss (Mishchuk et al. 2017, public):
@@ -74,19 +107,49 @@ def triplet_margin_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
     return jnp.mean(jnp.maximum(margin + pos - hardest_neg, 0.0))
 
 
-def make_train_step(optimizer: optax.GradientTransformation):
+def make_train_step(optimizer: optax.GradientTransformation,
+                    train_bn: bool = False):
+    """train_bn=True runs BatchNorm in training mode (batch statistics)
+    and folds the running-stat updates back into params (stats are not
+    differentiated through — they ride along like torch buffers)."""
     def loss_fn(params, anchors, positives):
+        if train_bn:
+            both = jnp.concatenate([anchors, positives], 0)
+            emb, new_stats = hardnet_embed_train(params, both)
+            ea, ep = jnp.split(emb, 2, axis=0)
+            return triplet_margin_loss(ea, ep), new_stats
         ea = hardnet_embed(params, anchors)
         ep = hardnet_embed(params, positives)
-        return triplet_margin_loss(ea, ep)
+        return triplet_margin_loss(ea, ep), {}
 
     def train_step(params, opt_state, anchors, positives):
-        loss, grads = jax.value_and_grad(loss_fn)(params, anchors, positives)
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, anchors, positives)
+        # never descend on the BN buffers
+        grads = {k: (jnp.zeros_like(v) if k.startswith("bn") else v)
+                 for k, v in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        params = {**params, **{k: jax.lax.stop_gradient(v)
+                               for k, v in new_stats.items()}}
         return params, opt_state, loss
 
     return train_step
+
+
+def save_hardnet_npz(params: Dict, path: str) -> None:
+    """Save trained params in the `features.N.*` state-dict layout that
+    cnn._layers_from_state / _get_params load."""
+    out = {}
+    for k, v in params.items():
+        v = np.asarray(v, np.float32)
+        if k.startswith("w"):
+            out[f"features.{int(k[1:])}.weight"] = v
+        else:
+            idx, kind = k[2:].split("_")
+            name = "running_mean" if kind == "mean" else "running_var"
+            out[f"features.{idx}.{name}"] = v
+    np.savez(path, **out)
 
 
 def make_sharded_train_step(mesh: Mesh, optimizer: optax.GradientTransformation):

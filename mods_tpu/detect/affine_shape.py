@@ -23,6 +23,14 @@ import numpy as np
 from ..config import AffineShapeParams
 from ..ops import image as imops
 
+# Baumberg crop window: the worst admissible footprint is 9.5 px
+# half-patch x ratio <= 2.05 x sqrt(6) anisotropy ~= 47.7 px; on top of
+# that the fractional keypoint centre costs up to 1 px and bilinear
+# support another 1 px, so a 96 half-window (48) had zero margin.  104
+# restores ~4 px of slack; the kernels additionally zero (rather than
+# attenuate) any sample landing in the last fractional column.
+BAUMBERG_WIN = 104
+
 
 def inv_sqrt_2x2(a, b, c):
     """Inverse square root of SPD [[a,b],[b,c]], normalized to det 1.
@@ -110,10 +118,7 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         from ..ops import patch_engine as pe
         H, W = blurs.shape[-2], blurs.shape[-1]
         xy = jnp.stack([lx, ly], -1)
-        # 96 covers the worst admissible footprint (9.5 px half-patch x
-        # ratio <= 2.05 x anisotropy sqrt(6) ~= 48); smaller windows cut
-        # the per-iteration MXU contraction quadratically
-        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 96)
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, BAUMBERG_WIN)
         params = jnp.stack([
             lx - wox, ly - woy, ratio, valid.astype(jnp.float32),
             wox.astype(jnp.float32), woy.astype(jnp.float32),
@@ -129,7 +134,7 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         # (ops/patch_engine.py) instead of 19x19x4 scalar gathers.
         from ..ops import patch_engine as pe
         xy = jnp.stack([lx, ly], -1)
-        wins, wox, woy = pe.crop_windows(blurs, lev, xy, 96)
+        wins, wox, woy = pe.crop_windows(blurs, lev, xy, BAUMBERG_WIN)
         H, W = blurs.shape[-2], blurs.shape[-1]
 
         def sample_all(A_all):

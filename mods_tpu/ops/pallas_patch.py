@@ -80,9 +80,14 @@ def _resample_kernel(params_ref, wins_ref, out_ref, *, K: int, P: int, W: int,
         vals = jnp.sum(rows * hatx, axis=1, keepdims=True)  # [P2, 1]
         gx = px + ox
         gy = py + oy
+        # local test is px in [0, W-1): the hat contraction lacks the
+        # index-W neighbour, so positions in (W-1, W) would return
+        # silently attenuated values — zero them instead (the window
+        # size is chosen with margin so admissible samples never land
+        # there; see affine_shape.py BAUMBERG_WIN)
         inb = ((gx >= 0.0) & (gy >= 0.0) &
                (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
-               (px > -1.0) & (py > -1.0) & (px < W) & (py < W))
+               (px >= 0.0) & (py >= 0.0) & (px < W - 1.0) & (py < W - 1.0))
         out_ref[k, :] = jnp.where(inb, vals, 0.0)[:, 0]
 
 
@@ -178,7 +183,8 @@ def _baumberg_kernel(params_ref, wins_ref, mask_ref, out_ref, ok_ref,
             gy = py + oy
             inb = ((gx >= 0.0) & (gy >= 0.0) &
                    (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
-                   (px > -1.0) & (py > -1.0) & (px < W) & (py < W))
+                   (px >= 0.0) & (py >= 0.0) &
+                   (px < W - 1.0) & (py < W - 1.0))
             patch = jnp.where(inb, vals, 0.0)
             return patch.reshape(ws, ws)
 

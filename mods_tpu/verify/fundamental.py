@@ -301,20 +301,12 @@ def _iter_lsq_f(xy1n, xy2n, valid, F0, th_n, steps: int):
     return jnp.where(better, F, bestF), jnp.where(better, J, bestJ)
 
 
-@partial(jax.jit, static_argnames=("batch", "lo_batch", "do_symm_check",
-                                   "do_degen"))
-def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
-                   do_symm_check: bool, do_degen: bool = True):
-    M = xy1.shape[0]
-    vf = valid.astype(jnp.float32)
-    T1 = normalize_transform(xy1, vf)
-    T2 = normalize_transform(xy2, vf)
-    xy1n = apply_h(T1, xy1)
-    xy2n = apply_h(T2, xy2)
-    th_n = th * T2[0, 0] * T2[0, 0]
-
-    k1, k2, k3 = jax.random.split(key, 3)
-    u = jax.random.uniform(k1, (batch, M))
+def _sweep_f(xy1n, xy2n, valid, th_n, key, batch: int,
+             do_symm_check: bool):
+    """One batch of B 7-point hypotheses (up to 3 F's each), scored;
+    returns (F_best, I, J, sample_p, sample_q) in the normalized frame."""
+    M = xy1n.shape[0]
+    u = jax.random.uniform(key, (batch, M))
     u = jnp.where(valid[None, :], u, -1.0)
     _, sidx = jax.lax.approx_max_k(u, 7)   # distinct uniform 7-subsets
     p = xy1n[sidx]
@@ -335,15 +327,56 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
         ok_or = ok_or & (Is.astype(jnp.float32) >= 0.6 * I.astype(jnp.float32))
     J = jnp.where(ok_or, J, -1.0)
     best = jnp.argmax(J)
-    F_best = Fs_flat[best]
+    return Fs_flat[best], I[best], J[best], p[best // 3], q[best // 3]
+
+
+@partial(jax.jit, static_argnames=("batch", "do_symm_check"))
+def _sweep_f_jit(xy1, xy2, valid, th, key, batch: int,
+                 do_symm_check: bool = False):
+    """Standalone hypothesis sweep for the adaptive host loop."""
+    vf = valid.astype(jnp.float32)
+    T1 = normalize_transform(xy1, vf)
+    T2 = normalize_transform(xy2, vf)
+    F, I, J, p, q = _sweep_f(apply_h(T1, xy1), apply_h(T2, xy2), valid,
+                             th * T2[0, 0] * T2[0, 0], key, batch,
+                             do_symm_check)
+    return F, I, J, p, q
+
+
+@partial(jax.jit, static_argnames=("batch", "lo_batch", "do_symm_check",
+                                   "do_degen"))
+def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
+                   do_symm_check: bool, do_degen: bool = True,
+                   init=None):
+    """init (optional): (F, J, sample_p, sample_q) from an adaptive host
+    loop of _sweep_f_jit; adopted when better than this core's own
+    sweep (normalized frames agree — same deterministic transform)."""
+    M = xy1.shape[0]
+    vf = valid.astype(jnp.float32)
+    T1 = normalize_transform(xy1, vf)
+    T2 = normalize_transform(xy2, vf)
+    xy1n = apply_h(T1, xy1)
+    xy2n = apply_h(T2, xy2)
+    th_n = th * T2[0, 0] * T2[0, 0]
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    F_best, I_best, J_best, p7, q7 = _sweep_f(xy1n, xy2n, valid, th_n, k1,
+                                              batch, do_symm_check)
+    if init is not None:
+        F_i, J_i, p_i, q_i = init
+        better = J_i > J_best
+        F_best = jnp.where(better, F_i, F_best)
+        J_best = jnp.where(better, J_i, J_best)
+        p7 = jnp.where(better, p_i, p7)
+        q7 = jnp.where(better, q_i, q7)
 
     if do_degen:
         # DEGENSAC: if the winning sample is H-degenerate, recover F by
         # plane-and-parallax and adopt it when it scores better
         # (exp_ranF.c:959-1003)
         F_pp, J_pp, is_degen = _degeneracy_pass(
-            F_best, p[best // 3], q[best // 3], xy1n, xy2n, valid, th_n, k3)
-        adopt = is_degen & (J_pp > J[best])
+            F_best, p7, q7, xy1n, xy2n, valid, th_n, k3)
+        adopt = is_degen & (J_pp > J_best)
         F_best = jnp.where(adopt, F_pp, F_best)
 
     # LO: LSQ on generous inliers + subset batch
@@ -367,7 +400,7 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
                                             ILSQ_ITERS))(Fl)
 
     cand_F = jnp.concatenate([F_best[None], F_lsq[None], Fl], 0)
-    cand_J = jnp.concatenate([J[best][None], J_lsq[None], Jl], 0)
+    cand_J = jnp.concatenate([J_best[None], J_lsq[None], Jl], 0)
     gi = jnp.argmax(cand_J)
     Fg = cand_F[gi]
 
@@ -405,14 +438,47 @@ def _laf_check_f(t: Tentatives, F: jnp.ndarray, thresh) -> jnp.ndarray:
 
 
 def loransac_f(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
-    """LORANSACFiltering with useF=True (matching.cpp:714-727, 807-820)."""
+    """LORANSACFiltering with useF=True (matching.cpp:714-727, 807-820),
+    with the adaptive sample budget of exp_ransacFcustom (nsamples stop
+    rule, exp_ranH.c:425 / rtools.c)."""
     if key is None:
         key = jax.random.PRNGKey(pars.seed)
     th = jnp.float32(pars.err_threshold ** 2)
-    F, inl, I, J = _ransac_f_core(t.xy1, t.xy2, t.valid, th, key,
+
+    key, k_core, k_ad = jax.random.split(key, 3)
+    F, inl, I, J = _ransac_f_core(t.xy1, t.xy2, t.valid, th, k_core,
                                   pars.batch_hypotheses, pars.lo_batch,
                                   bool(pars.doSymmCheck),
                                   bool(pars.doDegeneracyCheck))
+
+    # adaptive hypothesis loop (host, nsamples stop rule): doubling-size
+    # sweep batches until the confidence bound or max_samples is hit,
+    # then one more core seeded with the best sweep model
+    from .homography import nsamples_required
+    m = int(np.sum(np.asarray(t.valid)))
+    bestI = int(I)
+    batch = pars.batch_hypotheses
+    total = batch
+    init = None
+    while m > 0:
+        req = nsamples_required(bestI, m, 7, pars.confidence)
+        if total >= min(req, pars.max_samples):
+            break
+        k_ad, sub = jax.random.split(k_ad)
+        batch = min(batch * 2, 65536)
+        Fc, Ic, Jc, pc, qc = _sweep_f_jit(t.xy1, t.xy2, t.valid, th, sub,
+                                          batch, bool(pars.doSymmCheck))
+        total += batch
+        if init is None or float(Jc) > float(init[1]):
+            init = (Fc, Jc, pc, qc)
+            bestI = max(bestI, int(Ic))
+    if init is not None:
+        F2, inl2, I2, J2 = _ransac_f_core(
+            t.xy1, t.xy2, t.valid, th, key, pars.batch_hypotheses,
+            pars.lo_batch, bool(pars.doSymmCheck),
+            bool(pars.doDegeneracyCheck), init=init)
+        if float(J2) > float(J):
+            F, inl, I, J = F2, inl2, I2, J2
     keep = inl
     if pars.LAFCoef > 0:
         laf_th = jnp.float32(pars.LAFCoef * pars.err_threshold)

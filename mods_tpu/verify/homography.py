@@ -198,27 +198,24 @@ def _iter_lsq(xy1n, xy2n, valid, H0, th_n: jnp.ndarray, steps: int):
             jnp.where(better, J, bestJ))
 
 
-@partial(jax.jit, static_argnames=("batch", "lo_batch", "error_type"))
-def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
-                   batch: int, lo_batch: int, error_type: str):
-    M = xy1.shape[0]
-    nvalid = jnp.sum(valid)
-
-    # Hartley-normalize once (replaces per-LSQ normu for f32 stability)
+def _normalize_pair(xy1, xy2, valid, th):
+    """Hartley-normalize both sides once (replaces per-LSQ normu for f32
+    stability); returns transforms, normalized points and threshold."""
     T1 = normalize_transform(xy1, valid.astype(jnp.float32))
     T2 = normalize_transform(xy2, valid.astype(jnp.float32))
     xy1n = apply_h(T1, xy1)
     xy2n = apply_h(T2, xy2)
-    # squared-error scale factor pixel -> normalized (isotropic scales)
     s2 = T2[0, 0]
-    th_n = th * s2 * s2
+    return T1, T2, xy1n, xy2n, th * s2 * s2
 
-    k1, k2, k3 = jax.random.split(key, 3)
 
-    # ---- stage 1: B minimal samples ---- #
-    u = jax.random.uniform(k1, (batch, M))
+def _sweep_h(xy1n, xy2n, valid, th_n, key, batch: int):
+    """One batch of B minimal 4-point hypotheses, scored; returns the
+    best (H in the normalized frame, I, J)."""
+    M = xy1n.shape[0]
+    u = jax.random.uniform(key, (batch, M))
     u = jnp.where(valid[None, :], u, -1.0)
-    _, sidx = jax.lax.approx_max_k(u, 4)   # distinct uniform 4-subsets             # [B,4] distinct valid indices
+    _, sidx = jax.lax.approx_max_k(u, 4)   # distinct uniform 4-subsets
     p = xy1n[sidx]                            # [B,4,2]
     q = xy2n[sidx]
     A = dlt_rows(p, q).reshape(batch, 8, 9)
@@ -236,9 +233,50 @@ def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
     Ib, Jb = msac_score(db, valid[None, :], th_n)
     Jb = jnp.where(ok, Jb, -1.0)
     best = jnp.argmax(Jb)
-    H_best = Hb[best]
-    J_best = Jb[best]
-    I_best = Ib[best]
+    return Hb[best], Ib[best], Jb[best]
+
+
+@partial(jax.jit, static_argnames=("batch",))
+def _sweep_h_jit(xy1, xy2, valid, th, key, batch: int):
+    """Standalone hypothesis sweep for the adaptive host loop: returns
+    (H normalized-frame, I, J) for B fresh samples."""
+    _, _, xy1n, xy2n, th_n = _normalize_pair(xy1, xy2, valid, th)
+    return _sweep_h(xy1n, xy2n, valid, th_n, key, batch)
+
+
+def nsamples_required(ninl: int, m: int, sample_size: int,
+                      conf: float) -> float:
+    """rtools.c `nsamples` adaptive stopping rule (used at
+    exp_ranH.c:425): samples needed so that with confidence `conf` at
+    least one is all-inlier at the current inlier ratio."""
+    if m <= 0 or ninl <= 0:
+        return float("inf")
+    q = (ninl / m) ** sample_size
+    if q >= 1.0 - 1e-12:
+        return 1.0
+    if q < 1e-12:
+        return float("inf")
+    return math.log(max(1.0 - conf, 1e-12)) / math.log(1.0 - q)
+
+
+@partial(jax.jit, static_argnames=("batch", "lo_batch", "error_type"))
+def _ransac_h_core(xy1, xy2, valid, th: jnp.ndarray, key,
+                   batch: int, lo_batch: int, error_type: str,
+                   H_init=None, J_init=None):
+    """Fixed-budget batched LO-RANSAC-H: one hypothesis sweep (unless
+    (H_init, J_init) carry a better model from an adaptive host loop)
+    followed by the LO stages."""
+    M = xy1.shape[0]
+    T1, T2, xy1n, xy2n, th_n = _normalize_pair(xy1, xy2, valid, th)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # ---- stage 1: B minimal samples ---- #
+    H_best, I_best, J_best = _sweep_h(xy1n, xy2n, valid, th_n, k1, batch)
+    if H_init is not None:
+        better = J_init > J_best
+        H_best = jnp.where(better, H_init, H_best)
+        J_best = jnp.where(better, J_init, J_best)
 
     # ---- stage 2: LSQ-before-LO (exp_ranH.c case 4) ---- #
     d_best = sampson_h_sq(H_best, xy1n, xy2n)
@@ -307,16 +345,46 @@ def _laf_check_h(t: Tentatives, H: jnp.ndarray, thresh: jnp.ndarray):
 
 
 def loransac_h(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
-    """Full verification: RANSAC-H + LO + final LSQ + H-LAF check.
+    """Full verification: adaptive RANSAC-H + LO + final LSQ + H-LAF check.
 
-    Equivalent of LORANSACFiltering (matching.cpp:637-806) for useF=False.
+    Equivalent of LORANSACFiltering (matching.cpp:637-806) for useF=False,
+    with the adaptive sample budget of exp_ransacHcustom (exp_ranH.c:425):
+    run one batched core; if the rtools `nsamples` confidence bound is
+    not yet met at the found inlier ratio, keep drawing doubling-size
+    hypothesis batches (1 device dispatch each, so the reference's 10^6-
+    sample worst case costs ~12 dispatches) and finish with a second core
+    seeded with the best sweep model.
     """
     if key is None:
         key = jax.random.PRNGKey(pars.seed)
     th = jnp.float32(pars.err_threshold ** 2)
-    H, inl, I, J = _ransac_h_core(t.xy1, t.xy2, t.valid, th, key,
+    key, k_core, k_ad = jax.random.split(key, 3)
+    H, inl, I, J = _ransac_h_core(t.xy1, t.xy2, t.valid, th, k_core,
                                   pars.batch_hypotheses, pars.lo_batch,
                                   pars.errorType)
+
+    m = int(np.sum(np.asarray(t.valid)))
+    bestI = int(I)
+    total = pars.batch_hypotheses
+    batch = pars.batch_hypotheses
+    H0 = J0 = None
+    while m > 0:
+        req = nsamples_required(bestI, m, 4, pars.confidence)
+        if total >= min(req, pars.max_samples):
+            break
+        k_ad, sub = jax.random.split(k_ad)
+        batch = min(batch * 2, 65536)
+        Hc, Ic, Jc = _sweep_h_jit(t.xy1, t.xy2, t.valid, th, sub, batch)
+        total += batch
+        if J0 is None or float(Jc) > float(J0):
+            H0, J0 = Hc, Jc
+            bestI = max(bestI, int(Ic))
+    if H0 is not None:
+        H2, inl2, I2, J2 = _ransac_h_core(
+            t.xy1, t.xy2, t.valid, th, key, pars.batch_hypotheses,
+            pars.lo_batch, pars.errorType, H_init=H0, J_init=J0)
+        if float(J2) > float(J):
+            H, inl, I, J = H2, inl2, I2, J2
     t_inl = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
                        t.ratio, inl)
     if pars.HLAFCoef > 0:

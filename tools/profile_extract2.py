@@ -107,12 +107,6 @@ def main():
 
     def sift_fn(patches):
         p = imops.photometric_normalize(patches, mask)
-        return siftmod.describe_patches(p, par.__class__(**{
-            f.name: getattr(par, f.name) for f in
-            __import__("dataclasses").fields(par)}))
-    # simpler: call describe through the module with the same par object
-    def sift_fn(patches):
-        p = imops.photometric_normalize(patches, mask)
         return siftmod.describe_patches(p, fc.cfg.rootsift)
     siftf = jax.jit(sift_fn)
     timeit("photonorm + SIFT", siftf, patches_d)
