@@ -119,6 +119,17 @@ def cmd_mods(argv):
         v = np.asarray(t.valid)
         write_matches(m_out, np.asarray(t.xy1)[v], np.asarray(t.xy2)[v],
                       np.asarray(t.ratio)[v])
+    # k1/k2 keypoint files in the native hierarchical format
+    # (reference SaveRegions, mods.cpp:404-420 writing path)
+    from .io.keys import save_regions_native
+    from .twoview import _concat_features
+    for rep, path in ((r.rep1, k1), (r.rep2, k2)):
+        if rep is None or not path:
+            continue
+        store = {det: {dn: _concat_features(fl) for dn, fl in dmap.items()
+                       if fl}
+                 for det, dmap in rep.store.items()}
+        save_regions_native(path, store)
     from .io.logs import write_log, write_time_log
     with open(log_out, "w") as fh:
         # reference io_mods WriteLog line (io_mods.cpp:10-67) ...

@@ -415,6 +415,16 @@ def load_config(config_path: str, iters_path: Optional[str] = None) -> Config:
     m.knn_checks = ini.get_int(s, "knn_checks", m.knn_checks)
     m.doBothRANSACgroundTruth = ini.get_bool(s, "doBothRANSACgroundTruth", m.doBothRANSACgroundTruth)
     m.RANSACforStopping = ini.get_bool(s, "RANSACforStopping", m.RANSACforStopping)
+    # per-descriptor thresholds used by GROUP matching
+    # (reference io_mods.cpp:330-334: matchRatio<Desc> / matchDistance<Desc>)
+    for dn in ("RootSIFT", "SIFT", "HalfSIFT", "HalfRootSIFT", "ZMQ",
+               "HardNet", "ORB"):
+        v = ini.get_float(s, "matchRatio" + dn, 0.0)
+        if v:
+            m.FGINNThreshold[dn] = v
+        v = ini.get_float(s, "matchDistance" + dn, 0.0)
+        if v:
+            m.DistanceThreshold[dn] = v
 
     # duplicate filtering
     s = "DuplicateFiltering"

@@ -200,3 +200,124 @@ def read_h(fname: str) -> np.ndarray:
         for line in fh:
             vals += [float(t) for t in line.split()]
     return np.asarray(vals[:9], np.float64).reshape(3, 3)
+
+
+# --------------------------------------------------------------------------- #
+# Native hierarchical SaveRegions format
+# --------------------------------------------------------------------------- #
+def save_regions_native(fname: str, store: Dict[str, Dict[str, Features]]
+                        ) -> None:
+    """Native hierarchical keys format (reference SaveRegions,
+    imagerepresentation.cpp:1219-1255):
+
+        <n_detectors>
+        <detector> <n_descriptor_maps>
+        <descriptor> <n_regions>
+        <desc_dim>                      (only when n_regions > 0)
+        x y s a11 a12 a21 a22 <dim> <values...>   (saveAR: reproj frame)
+    """
+    with open(fname, "w") as fh:
+        fh.write(f"{len(store)}\n")
+        for det, dmap in store.items():
+            fh.write(f"{det} {len(dmap)}\n")
+            for desc_name, f in dmap.items():
+                d = features_dense(f)
+                n = len(d["s"])
+                dim = (d["desc"].shape[1]
+                       if n and desc_name != "None" else 0)
+                fh.write(f"{desc_name} {n}\n")
+                if n > 0:
+                    fh.write(f"{dim}\n")
+                for i in range(n):
+                    A = d["A"][i]
+                    row = [d["xy"][i, 0], d["xy"][i, 1], d["s"][i],
+                           A[0, 0], A[0, 1], A[1, 0], A[1, 1]]
+                    fh.write(" ".join(f"{v:g}" for v in row))
+                    fh.write(f" {dim} ")
+                    if dim:
+                        fh.write(" ".join(
+                            f"{v:g}" for v in d["desc"][i][:dim]))
+                    fh.write(" \n")
+
+
+def load_regions_native(fname: str) -> Dict[str, Dict[str, Features]]:
+    """Parse the native hierarchical format (reference LoadRegions,
+    imagerepresentation.cpp:1318-1354).  Returns {det: {desc: Features}}
+    with det == reproj frames (only reproj is stored)."""
+    import jax.numpy as jnp
+    out: Dict[str, Dict[str, Features]] = {}
+    with open(fname) as fh:
+        toks = fh.read().split("\n")
+    pos = 0
+
+    def line():
+        nonlocal pos
+        while pos < len(toks) and not toks[pos].strip():
+            pos += 1
+        pos += 1
+        return toks[pos - 1].strip()
+
+    n_det = int(line())
+    for _ in range(n_det):
+        name, n_maps = line().rsplit(" ", 1)
+        dmap: Dict[str, Features] = {}
+        for _ in range(int(n_maps)):
+            dname, n_reg = line().rsplit(" ", 1)
+            n = int(n_reg)
+            dim = int(line()) if n > 0 else 0
+            xy = np.zeros((n, 2), np.float32)
+            A = np.zeros((n, 2, 2), np.float32)
+            s = np.zeros(n, np.float32)
+            desc = np.zeros((n, max(dim, 1)), np.float32)
+            for i in range(n):
+                vals = line().split()
+                xy[i] = (float(vals[0]), float(vals[1]))
+                s[i] = float(vals[2])
+                A[i] = ((float(vals[3]), float(vals[4])),
+                        (float(vals[5]), float(vals[6])))
+                d = int(float(vals[7]))
+                if d:
+                    desc[i, :d] = [float(v) for v in vals[8:8 + d]]
+            kp = Keypoints(xy=jnp.asarray(xy), A=jnp.asarray(A),
+                           s=jnp.asarray(s),
+                           response=jnp.zeros(n, jnp.float32),
+                           valid=jnp.ones(n, bool))
+            dmap[dname] = Features(det=kp, reproj=kp, desc=jnp.asarray(desc))
+        out[name] = dmap
+    return out
+
+
+def save_regions_native_ext(fname: str, store: Dict[str, Dict[str, Features]],
+                            img_id: int = 1) -> None:
+    """Extended native format that the reference's LoadRegions/loadAR
+    actually parses (imagerepresentation.cpp:237-253 — NB the reference's
+    own SaveRegions output is NOT loadable by its LoadRegions; this
+    writer matches the loader):
+
+        id img_id img_reproj_id parent_id
+        [det_kp:    x y a11 a12 a21 a22 pyramid_scale octave s sub_type]
+        [reproj_kp: same 10 fields]
+        <dim> <values...>
+    """
+    with open(fname, "w") as fh:
+        fh.write(f"{len(store)}\n")
+        for det, dmap in store.items():
+            fh.write(f"{det} {len(dmap)}\n")
+            for desc_name, f in dmap.items():
+                d = features_dense(f)
+                n = len(d["s"])
+                dim = (d["desc"].shape[1]
+                       if n and desc_name != "None" else 0)
+                fh.write(f"{desc_name} {n}\n")
+                fh.write(f"{dim}\n")
+                for i in range(n):
+                    A = d["A"][i]
+                    kp = [d["xy"][i, 0], d["xy"][i, 1],
+                          A[0, 0], A[0, 1], A[1, 0], A[1, 1],
+                          d["s"][i], 0, d["s"][i], 0]
+                    row = ([i, img_id, 0, 0] + kp + kp + [dim])
+                    fh.write(" ".join(f"{v:g}" for v in row))
+                    if dim:
+                        fh.write(" " + " ".join(
+                            f"{v:g}" for v in d["desc"][i][:dim]))
+                    fh.write("\n")

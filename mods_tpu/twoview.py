@@ -72,6 +72,8 @@ class TwoViewResult:
     true_matches_gt: int = 0
     timelog: TimeLog = field(default_factory=TimeLog)
     final: Optional[MatchResult] = None
+    rep1: Optional["ImageRepresentation"] = None
+    rep2: Optional["ImageRepresentation"] = None
 
 
 def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
@@ -162,6 +164,36 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
 
         # matching per WhatToMatch groups (correspondencebank.cpp:234-343)
         t0 = time.time()
+        from .match.matching import match_distance_threshold
+
+        def _is_int(desc):
+            # SIFT-family descriptors are integer-quantized -> exact
+            # bf16 MXU distances; CNN (ZMQ) descriptors are floats.
+            return desc not in ("ZMQ", "HardNet", "HardNetTPU")
+
+        # grouped matching: concatenate regions from ALL group detectors
+        # per group descriptor, thresholds from the config-level maps
+        # (correspondencebank.cpp:245-285)
+        for desc in step.group_descriptors:
+            ratio = cfg.matching.FGINNThreshold.get(desc, 0.0)
+            dth = cfg.matching.DistanceThreshold.get(desc, 0.0)
+            f1l, f2l = [], []
+            for det in step.group_detectors:
+                f1l += rep1.get(det, desc)
+                f2l += rep2.get(det, desc)
+            if not f1l or not f2l:
+                continue
+            f1 = _concat_features(f1l)
+            f2 = _concat_features(f2l)
+            if ratio > 0:
+                all_tents[("Group", desc)] = match_fginn(
+                    f1, f2, cfg.matching, ratio, int_exact=_is_int(desc))
+            if dth > 0:
+                all_tents[("GroupDist", desc)] = match_distance_threshold(
+                    f1, f2, cfg.matching, dth)
+
+        # separate matching: per (detector, descriptor), thresholds from
+        # the step's view-synthesis params (correspondencebank.cpp:288-343)
         for det in step.separate_detectors:
             sched = step.detectors.get(det)
             if sched is None and pre_extracted is None:
@@ -169,21 +201,22 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
             for desc in step.separate_descriptors:
                 ratio = (sched["fginn"].get(desc, 0.0) if sched is not None
                          else 0.8)
-                if ratio <= 0:
+                dth = (sched["dist"].get(desc, 0.0) if sched is not None
+                       else 0.0)
+                if ratio <= 0 and dth <= 0:
                     continue
                 f1l = rep1.get(det, desc)
                 f2l = rep2.get(det, desc)
                 if not f1l or not f2l:
                     continue
-                from .types import concat_keypoints
                 f1 = _concat_features(f1l)
                 f2 = _concat_features(f2l)
-                # SIFT-family descriptors are integer-quantized -> exact
-                # bf16 MXU distances; CNN (ZMQ) descriptors are floats.
-                is_int = desc not in ("ZMQ", "HardNet", "HardNetTPU")
-                t = match_fginn(f1, f2, cfg.matching, ratio,
-                                int_exact=is_int)
-                all_tents[(det, desc)] = t
+                if ratio > 0:
+                    all_tents[(det, desc)] = match_fginn(
+                        f1, f2, cfg.matching, ratio, int_exact=_is_int(desc))
+                if dth > 0:
+                    all_tents[(det, desc, "dist")] = match_distance_threshold(
+                        f1, f2, cfg.matching, dth)
         tl.MatchTime += time.time() - t0
 
         # merge + duplicate filtering + verification
@@ -233,6 +266,8 @@ def match_images(img1: np.ndarray, img2: np.ndarray, cfg: Config,
     res.regions2 = rep2.n_regions()
     res.descriptors1 = rep1.n_descriptors()
     res.descriptors2 = rep2.n_descriptors()
+    res.rep1 = rep1
+    res.rep2 = rep2
     return res
 
 

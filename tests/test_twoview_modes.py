@@ -58,3 +58,49 @@ def test_pre_extracted_orsa_rejects_translation_noise():
     img = np.zeros((16, 16), np.float32)
     r = match_images(img, img, cfg, pre_extracted=(f1, f2), ver_type="ORSA")
     assert r.inliers <= 10, r.inliers
+
+
+def test_group_matching_path():
+    """GroupDetectors/GroupDescriptors matching
+    (correspondencebank.cpp:234-285): regions from all group detectors
+    are concatenated and matched with the config-level matchRatio<Desc>
+    threshold.  Small real image pair, group == {HessianAffine}."""
+    import cv2
+    cfg = load_config("/root/reference/build/config_affori_classic.ini",
+                      "/root/reference/build/iters_HessianSIFT.ini")
+    # route everything through the GROUP path
+    step = cfg.iters[0]
+    step.group_detectors = list(step.separate_detectors) or ["HessianAffine"]
+    step.group_descriptors = ["RootSIFT"]
+    step.separate_detectors = []
+    step.separate_descriptors = []
+    cfg.matching.FGINNThreshold["RootSIFT"] = 0.8
+
+    img = cv2.imread("/root/reference/build/imgs/graf1.png",
+                     0).astype(np.float32)
+    img = cv2.resize(img, (200, 160))
+    img2 = np.roll(img, 5, axis=1)
+    r = match_images(img, img2, cfg)
+    assert r.unique_tentatives > 10, r.unique_tentatives
+    assert r.inliers > 10, r.inliers
+
+
+def test_distance_threshold_matching_path():
+    """Separate-path MatchFLANNDistance equivalent: DistanceThreshold>0
+    in the iters schedule adds absolute-distance tentatives
+    (correspondencebank.cpp:334-336)."""
+    import cv2
+    cfg = load_config("/root/reference/build/config_affori_classic.ini",
+                      "/root/reference/build/iters_HessianSIFT.ini")
+    step = cfg.iters[0]
+    det = step.separate_detectors[0]
+    sched = step.detectors[det]
+    sched["fginn"] = {d: 0.0 for d in sched["fginn"]}
+    sched["dist"] = {d: 1000.0 for d in sched["dist"]} or {"RootSIFT": 1000.0}
+
+    img = cv2.imread("/root/reference/build/imgs/graf1.png",
+                     0).astype(np.float32)
+    img = cv2.resize(img, (200, 160))
+    img2 = np.roll(img, 5, axis=1)
+    r = match_images(img, img2, cfg)
+    assert r.unique_tentatives > 10, r.unique_tentatives
