@@ -221,10 +221,15 @@ def _get_params(cfg: Config, which: str):
         return _layers_from_state(d)
     if path.endswith(".pth") and os.path.exists(path):
         return _layers_from_state(load_pth_state(path))
-    # fall back to deterministic random init (HardNet++ blob is stripped
-    # from the reference checkout) — keeps the pipeline runnable; quality
-    # requires real weights.
-    return _random_params(which)
+    if os.environ.get("MODS_TPU_ALLOW_RANDOM_CNN"):
+        # explicit opt-in for tests/smoke runs only
+        return _random_params(which)
+    raise FileNotFoundError(
+        f"{which} weights not found at {path}. Train HardNet with "
+        f"`python tools/train_hardnet.py` (writes weights/HardNetPS.npz) "
+        f"or point cfg.{which}.weights at a checkpoint. Set "
+        f"MODS_TPU_ALLOW_RANDOM_CNN=1 only for plumbing smoke tests — "
+        f"random weights produce noise descriptors.")
 
 
 _RANDOM_CACHE: Dict[str, Dict] = {}

@@ -131,15 +131,27 @@ def _jitter_frames(rng: np.random.Generator, A: np.ndarray, s: np.ndarray,
     return A2, xy2.astype(np.float32)
 
 
+_SAMPLE_POOL = 4096    # fixed jit shape: one compile for ALL images
+
+
 def _sample(img: np.ndarray, xy: np.ndarray, A: np.ndarray, s: np.ndarray):
     from ..ops import patch_engine as pe
     # per-pixel step matches the pipeline's descriptor sampling
     # (models/flagship.py _describe_fast): A * s * (2*mrSize+1)/patchSize
     k = float(2 * int(MR_SIZE) + 1) / PATCH
     pyr = pe.build_mip_pyramid(jnp.asarray(img), 1.6)
-    step = jnp.asarray(A) * (k * jnp.asarray(s))[:, None, None]
-    p = pe.sample_patches(pyr, jnp.asarray(xy), step, PATCH)
-    return np.asarray(p)
+    n = len(s)
+    # pad to a FIXED pool size so every image reuses one compiled program
+    # (variable shapes caused hundreds of LLVM JIT compiles -> OOM)
+    m = min(n, _SAMPLE_POOL)
+    pad = _SAMPLE_POOL - m
+    xyp = np.concatenate([xy[:m], np.full((pad, 2), 8.0, np.float32)])
+    Ap = np.concatenate([A[:m], np.tile(np.eye(2, dtype=np.float32),
+                                        (pad, 1, 1))])
+    sp = np.concatenate([s[:m], np.ones(pad, np.float32)])
+    step = jnp.asarray(Ap) * (k * jnp.asarray(sp))[:, None, None]
+    p = pe.sample_patches(pyr, jnp.asarray(xyp), step, PATCH)
+    return np.asarray(p)[:n]
 
 
 def _photometric(rng: np.random.Generator, p: np.ndarray) -> np.ndarray:

@@ -177,91 +177,101 @@ def localize(resp: jnp.ndarray, blurs: jnp.ndarray, lev, r0, c0, cand_valid,
 
     Returns OctaveKeypoints in octave pixel coordinates (before octaveMap
     dedup, which `dedup_octave_map` applies).
+
+    The 3x3x3 neighborhood is read each iteration with ONE flat 27-offset
+    gather over the whole response volume — vmapped dynamic_slice windows
+    lower to a serial per-candidate while loop on TPU (~80 us/candidate
+    overall), whereas a [K, 27] element gather is a single native op.
+    All candidate math is written batch-vectorized (no vmap, no per-item
+    2-D arrays) so XLA emits pure elementwise kernels.
     """
     L, H, W = resp.shape
+    K = r0.shape[0]
     edge_th = ((par.edgeEigenValueRatio + 1.0) ** 2) / par.edgeEigenValueRatio
     if par.detector_mode == "FixedTh":
         final_th = par.threshold ** 2 if par.detector_type == "Hessian" else par.threshold
     else:
         final_th = 0.0
 
-    # Per-candidate [3, wh, ww] response windows, cropped ONCE with
-    # dynamic_slice (efficient block copies); the 5-iteration walk moves
-    # at most +-5 px, so a 16-window centred at the start position always
-    # contains the 3x3x3 neighborhood.  Replaces the 27-tap scalar
-    # gathers per candidate per iteration, which XLA lowers to a serial
-    # loop on TPU.
-    wh = min(16, H)
-    ww = min(16, W)
-    oy = jnp.clip(r0 - 7, 0, max(H - wh, 0))
-    ox = jnp.clip(c0 - 7, 0, max(W - ww, 0))
+    flat = resp.reshape(-1)
+    offs = jnp.asarray([dl * H * W + dr * W + dc
+                        for dl in (-1, 0, 1)
+                        for dr in (-1, 0, 1)
+                        for dc in (-1, 0, 1)], jnp.int32)      # [27]
+    base_lev = lev * (H * W)
 
-    def crop(l, y0, x0):
-        return jax.lax.dynamic_slice(resp, (l - 1, y0, x0), (3, wh, ww))
-    wins = jax.vmap(crop)(lev, oy, ox)        # [K, 3, wh, ww]
+    def cube27(r, c):
+        lin = base_lev + r * W + c                              # [K]
+        idx = jnp.clip(lin[:, None] + offs[None, :], 0, flat.shape[0] - 1)
+        return jnp.take(flat, idx, axis=0)                      # [K, 27]
+    # cube index helper: q(dl, dr, dc) -> column in the [K,27] cube
+    q = lambda dl, dr, dc: (dl + 1) * 9 + (dr + 1) * 3 + (dc + 1)
 
-    def neighborhood(win, rl, cl):
-        """3x3x3 cube around local (rl, cl) via dynamic_slice (block
-        copy; surviving candidates always satisfy 1 <= rl, cl <= 14 so
-        the clamp never distorts them — the previous one-hot einsum
-        formulation lowered to thousands of tiny batched matmuls)."""
-        return jax.lax.dynamic_slice(win, (0, rl - 1, cl - 1), (3, 3, 3))
+    def body(state, it):
+        r, c, bx, by, bs, val, alive, rejected = state
+        cu = cube27(r, c)
+        cur = lambda dr, dc: cu[:, q(0, dr, dc)]
+        low = lambda dr, dc: cu[:, q(-1, dr, dc)]
+        high = lambda dr, dc: cu[:, q(1, dr, dc)]
+        c11 = cur(0, 0)
+        dxx = cur(0, -1) - 2.0 * c11 + cur(0, 1)
+        dyy = cur(-1, 0) - 2.0 * c11 + cur(1, 0)
+        dss = low(0, 0) - 2.0 * c11 + high(0, 0)
+        dxy = 0.25 * (cur(1, 1) - cur(1, -1) - cur(-1, 1) + cur(-1, -1))
+        dxs = 0.25 * (high(0, 1) - high(0, -1) - low(0, 1) + low(0, -1))
+        dys = 0.25 * (high(1, 0) - high(-1, 0) - low(1, 0) + low(-1, 0))
+        dx = 0.5 * (cur(0, 1) - cur(0, -1))
+        dy = 0.5 * (cur(1, 0) - cur(-1, 0))
+        ds = 0.5 * (high(0, 0) - low(0, 0))
+        edge_score = (dxx + dyy) ** 2 / (dxx * dyy - dxy * dxy)
+        edge_bad = (it == 0) & ((edge_score >= edge_th) | (edge_score < 0))
+        # Cramer's rule for the symmetric 3x3 system A b = -g, written on
+        # components (identical to helpers.cpp solveLinear3x3 up to fp;
+        # singular systems produce non-finite b and are rejected)
+        det = (dxx * (dyy * dss - dys * dys)
+               - dxy * (dxy * dss - dys * dxs)
+               + dxs * (dxy * dys - dyy * dxs))
+        nbx = (-(dx * (dyy * dss - dys * dys)
+                 - dxy * (dy * dss - dys * ds)
+                 + dxs * (dy * dys - dyy * ds)) / det)
+        nby = (-(dxx * (dy * dss - dys * ds)
+                 - dx * (dxy * dss - dxs * dys)
+                 + dxs * (dxy * ds - dxs * dy)) / det)
+        nbs = (-(dxx * (dyy * ds - dy * dys)
+                 - dxy * (dxy * ds - dy * dxs)
+                 + dx * (dxy * dys - dyy * dxs)) / det)
+        nan_bad = ~(jnp.isfinite(nbx) & jnp.isfinite(nby) & jnp.isfinite(nbs))
+        val_new = c11 + 0.5 * (dx * nbx + dy * nby + ds * nbs)
+        move_px = nbx > 0.6
+        move_mx = nbx < -0.6
+        move_py = nby > 0.6
+        move_my = nby < -0.6
+        oob = ((move_px & (c >= W - 3)) | (move_mx & (c <= 3)) |
+               (move_py & (r >= H - 3)) | (move_my & (r <= 3)))
+        nc = c + move_px.astype(jnp.int32) - move_mx.astype(jnp.int32)
+        nr = r + move_py.astype(jnp.int32) - move_my.astype(jnp.int32)
+        converged = (nr == r) & (nc == c)
+        bad = edge_bad | nan_bad | oob
+        upd = alive & ~bad
+        r_out = jnp.where(upd, nr, r)
+        c_out = jnp.where(upd, nc, c)
+        bx_out = jnp.where(upd, nbx, bx)
+        by_out = jnp.where(upd, nby, by)
+        bs_out = jnp.where(upd, nbs, bs)
+        val_out = jnp.where(upd, val_new, val)
+        rejected = rejected | (alive & bad)
+        alive = alive & ~bad & ~converged
+        return (r_out, c_out, bx_out, by_out, bs_out, val_out, alive,
+                rejected), None
 
-    def derivs(cube):
-        low, cur, high = cube[0], cube[1], cube[2]
-        dxx = cur[1, 0] - 2.0 * cur[1, 1] + cur[1, 2]
-        dyy = cur[0, 1] - 2.0 * cur[1, 1] + cur[2, 1]
-        dss = low[1, 1] - 2.0 * cur[1, 1] + high[1, 1]
-        dxy = 0.25 * (cur[2, 2] - cur[2, 0] - cur[0, 2] + cur[0, 0])
-        dxs = 0.25 * (high[1, 2] - high[1, 0] - low[1, 2] + low[1, 0])
-        dys = 0.25 * (high[2, 1] - high[0, 1] - low[2, 1] + low[0, 1])
-        dx = 0.5 * (cur[1, 2] - cur[1, 0])
-        dy = 0.5 * (cur[2, 1] - cur[0, 1])
-        ds = 0.5 * (high[1, 1] - low[1, 1])
-        A = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
-        g = jnp.array([dx, dy, ds])
-        return A, g, cur[1, 1], dxx, dyy, dxy
-
-    def one_candidate(win, oy, ox, r0, c0, valid0):
-        def body(state, it):
-            r, c, b, val, alive, rejected = state
-            cube = neighborhood(win, r - oy, c - ox)
-            A, g, center, dxx, dyy, dxy = derivs(cube)
-            edge_score = (dxx + dyy) ** 2 / (dxx * dyy - dxy * dxy)
-            edge_bad = (it == 0) & ((edge_score >= edge_th) | (edge_score < 0))
-            bnew = _solve3x3(A, -g)   # Cramer: cheap + custom-call-free HLO
-            nan_bad = ~jnp.all(jnp.isfinite(bnew))
-            val_new = center + 0.5 * jnp.dot(g, bnew)
-            # position update with safety-border rejection
-            move_px = (bnew[0] > 0.6)
-            move_mx = (bnew[0] < -0.6)
-            move_py = (bnew[1] > 0.6)
-            move_my = (bnew[1] < -0.6)
-            oob = ((move_px & (c >= W - 3)) | (move_mx & (c <= 3)) |
-                   (move_py & (r >= H - 3)) | (move_my & (r <= 3)))
-            nc = c + move_px.astype(jnp.int32) - move_mx.astype(jnp.int32)
-            nr = r + move_py.astype(jnp.int32) - move_my.astype(jnp.int32)
-            converged = (nr == r) & (nc == c)
-            bad = edge_bad | nan_bad | oob
-            # freeze once rejected or converged
-            upd = alive & ~bad
-            r_out = jnp.where(upd, nr, r)
-            c_out = jnp.where(upd, nc, c)
-            b_out = jnp.where(upd, bnew, b)
-            val_out = jnp.where(upd, val_new, val)
-            rejected = rejected | (alive & bad)
-            alive = alive & ~bad & ~converged
-            return (r_out, c_out, b_out, val_out, alive, rejected), None
-
-        init = (r0, c0, jnp.zeros(3), jnp.float32(0.0), valid0,
-                ~valid0)
-        (r, c, b, val, alive, rejected), _ = jax.lax.scan(
-            body, init, jnp.arange(5))
-        ok = (~rejected) & (jnp.max(jnp.abs(b)) <= 1.5) & (jnp.abs(val) >= final_th)
-        return r, c, b, val, ok
-
-    r, c, b, val, ok = jax.vmap(one_candidate)(wins, oy, ox, r0, c0,
-                                               cand_valid)
+    zf = jnp.zeros(K, jnp.float32)
+    init = (r0, c0, zf, zf, zf, zf, cand_valid, ~cand_valid)
+    (r, c, bx, by, bs, val, alive, rejected), _ = jax.lax.scan(
+        body, init, jnp.arange(5))
+    b = jnp.stack([bx, by, bs], axis=-1)
+    ok = ((~rejected)
+          & (jnp.max(jnp.abs(b), axis=-1) <= 1.5)
+          & (jnp.abs(val) >= final_th))
     # NOTE on the converged-position subtlety: the reference breaks with
     # (r, c) at the converged position; our scan freezes identically.
     scale = jnp.asarray(sigmas, jnp.float32)[lev] * jnp.exp2(b[:, 2] / par.numberOfScales)

@@ -14,7 +14,11 @@ BASE_PORT = 15761
 
 
 @pytest.fixture(scope="module")
-def servers():
+def servers(monkeypatch_module=None):
+    # wire-protocol test: random weights are fine (and HardNet weights
+    # may be absent in a fresh checkout before tools/train_hardnet.py)
+    import os
+    os.environ["MODS_TPU_ALLOW_RANDOM_CNN"] = "1"
     cfg = Config()
     stop = threading.Event()
     threads = []

@@ -88,3 +88,26 @@ def main():
 
 if __name__ == "__main__":
     main()
+    extra()
+
+
+def extra():
+    from mods_tpu.ops import patch_engine as pe
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(rng.uniform(0, 255, (5, 640, 800)).astype(np.float32))
+    lev = jnp.asarray(rng.integers(0, 4, 4096).astype(np.int32))
+    xy = jnp.asarray(rng.uniform(60, 580, (4096, 2)).astype(np.float32))
+    cw = jax.jit(lambda l, x: pe.crop_windows(stack, l, x, 104))
+    timeit("crop_windows [4096,104,104]", cw, lev, xy)
+
+    from mods_tpu.detect.affine_shape import baumberg_batch
+    from mods_tpu.config import load_config
+    from mods_tpu.models import flagship as fs
+    cfg = load_config("/root/reference/build/config_affori_classic.ini",
+                      "/root/reference/build/iters_HessianSIFT.ini")
+    fc = fs.FrozenConfig(cfg)
+    ratio = jnp.asarray(rng.uniform(1.0, 2.0, 4096).astype(np.float32))
+    ok = jnp.ones(4096, bool)
+    bb = jax.jit(lambda l, x, y, r, v: baumberg_batch(
+        stack, l, x, y, r, v, fc.hessian.affine, engine="pallas"))
+    timeit("baumberg pallas (4096)", bb, lev, xy[:, 0], xy[:, 1], ratio, ok)
