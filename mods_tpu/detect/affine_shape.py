@@ -111,13 +111,26 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
         return jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1)), valid
 
     if engine == "pallas":
-        # whole SMM iteration inside one Pallas kernel: the per-keypoint
-        # window is DMA'd to VMEM once and all iterations run on-chip
-        # (ops/pallas_patch.py), vs. re-reading HBM windows per iteration.
+        # whole SMM iteration inside one Pallas kernel; the per-keypoint
+        # window is DMA'd HBM->VMEM inside the kernel (XLA-side vmapped
+        # crops lower to a serial per-keypoint loop on TPU).
         from ..ops import pallas_patch as pp
         from ..ops import patch_engine as pe
         H, W = blurs.shape[-2], blurs.shape[-1]
         xy = jnp.stack([lx, ly], -1)
+        if H >= pp.DMA_WIN_Y and W >= pp.DMA_WIN_X:
+            lw = jnp.full((n,), W, jnp.int32)
+            lh = jnp.full((n,), H, jnp.int32)
+            woy, wox = pp.dma_window_origins(lx, ly, lw, lh)
+            params = jnp.stack([
+                lx - wox.astype(jnp.float32), ly - woy.astype(jnp.float32),
+                ratio, valid.astype(jnp.float32),
+                wox.astype(jnp.float32), woy.astype(jnp.float32),
+                jnp.full((n,), W, jnp.float32),
+                jnp.full((n,), H, jnp.float32)], -1)
+            U, ok = pp.dma_baumberg(blurs, lev, woy, wox, params, mask,
+                                    ws, max_iter, float(conv))
+            return U, ok & valid
         wins, wox, woy = pe.crop_windows(blurs, lev, xy, BAUMBERG_WIN)
         params = jnp.stack([
             lx - wox, ly - woy, ratio, valid.astype(jnp.float32),

@@ -324,3 +324,332 @@ def baumberg_pallas(wins: jnp.ndarray, params: jnp.ndarray,
     )(params, wins, mask)
     U = out[:n].reshape(n, 2, 2)
     return U, okf[:n, 0] > 0.5
+
+
+# --------------------------------------------------------------------------- #
+# DMA-windowed resample: windows are copied HBM -> VMEM inside the
+# kernel (per-keypoint async DMA driven by scalar-prefetched origins).
+# Replaces the XLA-side vmapped dynamic_slice crop, which Mosaic/XLA
+# lowers to a SERIAL per-keypoint while loop (~10 us/keypoint) and which
+# materializes [n, W, W] float windows in HBM.
+#
+# Mosaic requires DMA slice offsets aligned to the (8, 128) f32 tiling,
+# so the window is a rectangle with 8-aligned row origin and 128-aligned
+# column origin; (112, 256) guarantees coverage of the worst admissible
+# +-52 px footprint (see affine_shape.BAUMBERG_WIN) from any aligned
+# origin <= (y-52, x-52).
+# --------------------------------------------------------------------------- #
+DMA_WIN_Y = 112
+DMA_WIN_X = 256
+
+
+def dma_window_origins(cx, cy, lw, lh):
+    """Aligned window origins covering (cx, cy) +- 52 px; lw/lh are the
+    valid extents (level width/height) as arrays."""
+    oy = ((jnp.floor(cy).astype(jnp.int32) - 52) // 8) * 8
+    ox = ((jnp.floor(cx).astype(jnp.int32) - 52) // 128) * 128
+    oy = jnp.clip(oy, 0, jnp.maximum(lh - DMA_WIN_Y, 0))
+    ox = jnp.clip(ox, 0, jnp.maximum(lw - DMA_WIN_X, 0))
+    return oy, ox
+
+
+def _dma_resample_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
+                         out_ref, wins, sems, *, K: int, P: int,
+                         precision):
+    WY, WX = DMA_WIN_Y, DMA_WIN_X
+    P2 = P * P
+
+    def win_slice(g):
+        oy = pl.multiple_of(oy_ref[g], 8)
+        ox = pl.multiple_of(ox_ref[g], 128)
+        return pyr_ref.at[lev_ref[g], pl.ds(oy, WY), pl.ds(ox, WX)]
+
+    i = pl.program_id(0)
+    for k in range(K):
+        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                              sems.at[k]).start()
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, WY), 1).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, WX), 1).astype(jnp.float32)
+    flat_i = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
+    c = float(P // 2)
+    jg = (flat_i // P).astype(jnp.float32) - c
+    ig = (flat_i % P).astype(jnp.float32) - c
+
+    for k in range(K):
+        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                              sems.at[k]).wait()
+        cxl = params_ref[k, 0]
+        cyl = params_ref[k, 1]
+        a00 = params_ref[k, 2]
+        a01 = params_ref[k, 3]
+        a10 = params_ref[k, 4]
+        a11 = params_ref[k, 5]
+        ox = params_ref[k, 6]
+        oy = params_ref[k, 7]
+        lw = params_ref[k, 8]
+        lh = params_ref[k, 9]
+        px = cxl + ig * a00 + jg * a01
+        py = cyl + ig * a10 + jg * a11
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - ys))      # [P2, WY]
+        rows = jnp.dot(haty, wins[k], precision=precision,
+                       preferred_element_type=jnp.float32)   # [P2, WX]
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
+        vals = jnp.sum(rows * hatx, axis=1, keepdims=True)
+        gx = px + ox
+        gy = py + oy
+        inb = ((gx >= 0.0) & (gy >= 0.0) &
+               (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
+               (px >= 0.0) & (py >= 0.0) &
+               (px < WX - 1.0) & (py < WY - 1.0))
+        out_ref[k, :] = jnp.where(inb, vals, 0.0)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("P", "block_k", "precision"))
+def dma_hat_resample(pyr: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
+                     ox: jnp.ndarray, params: jnp.ndarray, P: int,
+                     block_k: int = 8,
+                     precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+    """pyr [L,H,W] (stays in HBM) + per-keypoint level/aligned-origin/
+    params -> patches [n, P, P].  params columns as in hat_resample
+    (cxl, cyl, a00..a11, ox, oy, lw, lh) with the window-local centre
+    relative to the aligned (oy, ox) origin."""
+    n = lev.shape[0]
+    K = block_k
+    npad = (-n) % K
+    if npad:
+        z = lambda a: jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
+        lev, oy, ox = z(lev), z(oy), z(ox)
+        params = jnp.concatenate(
+            [params, jnp.ones((npad, params.shape[1]), params.dtype)])
+    ntot = n + npad
+    if params.shape[1] < N_PARAMS:
+        params = jnp.pad(params, ((0, 0), (0, N_PARAMS - params.shape[1])))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # lev, oy, ox
+        grid=(ntot // K,),
+        in_specs=[
+            pl.BlockSpec((K, N_PARAMS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # pyr in HBM
+        ],
+        out_specs=pl.BlockSpec((K, P * P), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, DMA_WIN_Y, DMA_WIN_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_dma_resample_kernel, K=K, P=P,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntot, P * P), jnp.float32),
+        interpret=_use_interpret(),
+    )(lev, oy, ox, params, pyr)
+    return out[:n].reshape(n, P, P)
+
+
+def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
+                         mask_ref, out_ref, ok_ref, wins, sems,
+                         *, K: int, ws: int, max_iter: int, conv: float):
+    """Baumberg SMM iteration with the per-keypoint window DMA'd
+    HBM -> VMEM inside the kernel (same math as _baumberg_kernel).
+    Window is the aligned (DMA_WIN_Y, DMA_WIN_X) rectangle."""
+    WY, WX = DMA_WIN_Y, DMA_WIN_X
+    i = pl.program_id(0)
+
+    def win_slice(g):
+        oy = pl.multiple_of(oy_ref[g], 8)
+        ox = pl.multiple_of(ox_ref[g], 128)
+        return pyr_ref.at[lev_ref[g], pl.ds(oy, WY), pl.ds(ox, WX)]
+
+    for k in range(K):
+        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                              sems.at[k]).start()
+
+    ws2 = ws * ws
+    n_mask = float(ws * ws)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, WY), 1).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, WX), 1).astype(jnp.float32)
+    flat_i = jax.lax.broadcasted_iota(jnp.int32, (ws2, 1), 0)
+    c = float(ws // 2)
+    jg = (flat_i // ws).astype(jnp.float32) - c
+    ig = (flat_i % ws).astype(jnp.float32) - c
+
+    for k in range(K):
+        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                              sems.at[k]).wait()
+        cxl = params_ref[k, 0]
+        cyl = params_ref[k, 1]
+        ratio = params_ref[k, 2]
+        valid0 = params_ref[k, 3] > 0.5
+        ox = params_ref[k, 4]
+        oy = params_ref[k, 5]
+        lw = params_ref[k, 6]
+        lh = params_ref[k, 7]
+        win = wins[k]
+
+        def sample(u11, u12, u21, u22):
+            a00 = u11 * ratio
+            a01 = u12 * ratio
+            a10 = u21 * ratio
+            a11_ = u22 * ratio
+            px = cxl + ig * a00 + jg * a01
+            py = cyl + ig * a10 + jg * a11_
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - ys))
+            rows = jnp.dot(haty, win,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32)
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
+            vals = jnp.sum(rows * hatx, axis=1, keepdims=True)
+            gx = px + ox
+            gy = py + oy
+            inb = ((gx >= 0.0) & (gy >= 0.0) &
+                   (jnp.floor(gx) < lw - 1.0) & (jnp.floor(gy) < lh - 1.0) &
+                   (px >= 0.0) & (py >= 0.0) &
+                   (px < WX - 1.0) & (py < WY - 1.0))
+            patch = jnp.where(inb, vals, 0.0)
+            return patch.reshape(ws, ws)
+
+        def gradient(img):
+            left = img[:, 1:2] - img[:, 0:1]
+            right = img[:, -1:] - img[:, -2:-1]
+            mid_x = img[:, 2:] - img[:, :-2]
+            gx = jnp.concatenate([left, mid_x, right], axis=1)
+            top = img[1:2, :] - img[0:1, :]
+            bot = img[-1:, :] - img[-2:-1, :]
+            mid_y = img[2:, :] - img[:-2, :]
+            gy = jnp.concatenate([top, mid_y, bot], axis=0)
+            return gx, gy
+
+        def iteration(carry, _):
+            (u11, u12, u21, u22, ratio_bef, done, ok,
+             o11, o12, o21, o22) = carry
+            img = sample(u11, u12, u21, u22)
+            fx, fy = gradient(img)
+            m = mask_ref[:]
+            a = jnp.sum(fx * fx * m) / n_mask
+            b = jnp.sum(fx * fy * m) / n_mask
+            cc = jnp.sum(fy * fy * m) / n_mask
+            r_ = jnp.where(b != 0.0, (cc - a) / (2.0 * b), 1.0)
+            t = jnp.where(
+                b != 0.0,
+                jnp.where(r_ >= 0, 1.0 / (r_ + jnp.sqrt(1.0 + r_ * r_)),
+                          -1.0 / (-r_ + jnp.sqrt(1.0 + r_ * r_))),
+                0.0)
+            rr = jnp.where(b != 0.0, jax.lax.rsqrt(1.0 + t * t), 1.0)
+            tt = t * rr
+            x = jax.lax.rsqrt(rr * rr * a - 2.0 * rr * tt * b + tt * tt * cc)
+            z = jax.lax.rsqrt(tt * tt * a + 2.0 * rr * tt * b + rr * rr * cc)
+            d = jnp.sqrt(x * z)
+            x = x / d
+            z = z / d
+            l1 = jnp.maximum(x, z)
+            l2 = jnp.minimum(x, z)
+            na = rr * rr * x + tt * tt * z
+            nb = -rr * tt * x + tt * rr * z
+            nc = tt * tt * x + rr * rr * z
+            nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
+            ratio_act = 1.0 - l2 / l1
+            v11 = na * u11 + nb * u21
+            v12 = na * u12 + nb * u22
+            v21 = nb * u11 + nc * u21
+            v22 = nb * u12 + nc * u22
+            trace = v11 + v22
+            delta1 = trace * trace - 4.0 * (v11 * v22 - v12 * v21)
+            eok = delta1 >= 0.0
+            delta = jnp.sqrt(jnp.maximum(delta1, 0.0))
+            e1 = (trace + delta) / 2.0
+            e2 = (trace - delta) / 2.0
+            aniso_bad = (~eok) | (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
+            converged = (ratio_act < conv) & (ratio_bef < conv)
+            accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
+            reject_now = (~done) & (nan_bad | aniso_bad)
+            o11 = jnp.where(accept_now, v11, o11)
+            o12 = jnp.where(accept_now, v12, o12)
+            o21 = jnp.where(accept_now, v21, o21)
+            o22 = jnp.where(accept_now, v22, o22)
+            ok = ok | accept_now
+            done2 = done | accept_now | reject_now
+            u11n = jnp.where(done, u11, v11)
+            u12n = jnp.where(done, u12, v12)
+            u21n = jnp.where(done, u21, v21)
+            u22n = jnp.where(done, u22, v22)
+            rb = jnp.where(done, ratio_bef, ratio_act)
+            return (u11n, u12n, u21n, u22n, rb, done2, ok,
+                    o11, o12, o21, o22)
+
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        init = (one, zero, zero, one, zero, ~valid0, jnp.bool_(False),
+                one, zero, zero, one)
+
+        def body2(i2, carry):
+            return jax.lax.cond(carry[5], lambda c: c,
+                                lambda c: iteration(c, i2), carry)
+
+        final = jax.lax.fori_loop(0, max_iter, body2, init)
+        (_, _, _, _, _, _, ok, o11, o12, o21, o22) = final
+        out_ref[k, 0] = o11
+        out_ref[k, 1] = o12
+        out_ref[k, 2] = o21
+        out_ref[k, 3] = o22
+        ok_ref[k, 0] = jnp.where(ok, 1.0, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ws", "max_iter", "conv", "block_k"))
+def dma_baumberg(stack: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
+                 ox: jnp.ndarray, params: jnp.ndarray, mask: jnp.ndarray,
+                 ws: int, max_iter: int, conv: float, block_k: int = 8
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """stack [L,H,W] (HBM) + per-kp level/origin/params -> (U, ok).
+    params columns as in baumberg_pallas, window-local centre relative
+    to the DMA_WIN window at (oy, ox)."""
+    n = lev.shape[0]
+    K = block_k
+    npad = (-n) % K
+    if npad:
+        z = lambda a: jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
+        lev, oy, ox = z(lev), z(oy), z(ox)
+        params = jnp.concatenate(
+            [params, jnp.zeros((npad, params.shape[1]), params.dtype)])
+    ntot = n + npad
+    if params.shape[1] < N_PARAMS:
+        params = jnp.pad(params, ((0, 0), (0, N_PARAMS - params.shape[1])))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ntot // K,),
+        in_specs=[
+            pl.BlockSpec((K, N_PARAMS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((ws, ws), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((K, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, DMA_WIN_Y, DMA_WIN_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    out, okf = pl.pallas_call(
+        functools.partial(_dma_baumberg_kernel, K=K, ws=ws,
+                          max_iter=max_iter, conv=conv),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ntot, 4), jnp.float32),
+            jax.ShapeDtypeStruct((ntot, 1), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(lev, oy, ox, params, stack, mask)
+    U = out[:n].reshape(n, 2, 2)
+    return U, okf[:n, 0] > 0.5

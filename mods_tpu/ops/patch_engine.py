@@ -180,6 +180,27 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
             oy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - win // 2, 0,
                           jnp.maximum(lhv - win, 0))
 
+            from . import pallas_patch as pp
+            if use_pallas and H >= pp.DMA_WIN_Y and W >= pp.DMA_WIN_X:
+                # DMA-windowed kernel: the window crop happens INSIDE the
+                # kernel (async HBM->VMEM copies driven by prefetched
+                # aligned origins) — the XLA-side vmapped dynamic_slice
+                # crop lowers to a serial per-keypoint loop on TPU and
+                # writes [n, win, win] windows through HBM.
+                oyd, oxd = pp.dma_window_origins(cx, cy, lwv, lhv)
+                params = jnp.stack([
+                    cx - oxd, cy - oyd,
+                    A[:, 0, 0] / scale_l, A[:, 0, 1] / scale_l,
+                    A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
+                    oxd.astype(jnp.float32), oyd.astype(jnp.float32),
+                    lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
+                # Mosaic supports DEFAULT (1 bf16 MXU pass) or HIGHEST
+                # (6 passes) only; DEFAULT's ~0.2% sample error washes out
+                # in the gradient histograms all consumers compute.
+                return pp.dma_hat_resample(pyr, lv, oyd, oxd, params,
+                                           out_size,
+                                           precision=jax.lax.Precision.DEFAULT)
+
             def crop(l, y0, x0):
                 return jax.lax.dynamic_slice(pyr, (l, y0, x0), (1, win, win))[0]
             wins = jax.vmap(crop)(lv, oy, ox)
@@ -193,9 +214,6 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                     A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
                     ox.astype(jnp.float32), oy.astype(jnp.float32),
                     lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
-                # Mosaic supports DEFAULT (1 bf16 MXU pass) or HIGHEST
-                # (6 passes) only; DEFAULT's ~0.2% sample error washes out
-                # in the gradient histograms all consumers compute.
                 return pp.hat_resample(wins, params, out_size,
                                        precision=jax.lax.Precision.DEFAULT)
             ii = jnp.arange(out_size, dtype=jnp.float32) - c

@@ -71,19 +71,29 @@ void mser_pass(Ctx& c) {
         co.history.push_back({co.level, co.size});
     };
 
-    auto emit_if_stable = [&](Component& co) {
-        // compute stability from history: size at level-delta vs +delta
+    auto emit_if_stable = [&](Component& co, int up_level) {
+        // Stability at the last level `lvl` where this component is the
+        // maximal region before merging at `up_level`.  The size has
+        // been constant since co.level (pixels are only added at the
+        // component's own level), so the span [co.level, up_level) is an
+        // implicit flat stretch of history — a component that jumps a
+        // wide level gap (e.g. a flat blob on a flat background) is the
+        // MOST stable case (variation 0), not an unseen one.
         if (co.size < c.min_size || co.size > c.max_size) return;
-        int lo_size = -1, hi_size = co.size;
-        int lvl = co.level;
-        for (auto it = co.history.rbegin(); it != co.history.rend(); ++it) {
-            if (it->first <= lvl - c.delta) { lo_size = it->second; break; }
+        int lvl = up_level;
+        int lo_size = -1;
+        if (lvl - c.delta >= co.level) {
+            lo_size = co.size;           // constant over the whole span
+        } else {
+            for (auto it = co.history.rbegin(); it != co.history.rend(); ++it) {
+                if (it->first <= lvl - c.delta) { lo_size = it->second; break; }
+            }
         }
-        if (lo_size < 0) return;
+        if (lo_size <= 0) return;
         double var = double(co.size - lo_size) / double(lo_size);
         if (var > c.max_variation) return;
-        // margin: how long has this size been roughly stable
-        double margin = 0;
+        // margin: how long the size has been roughly stable (<=10% drop)
+        double margin = lvl - co.level;
         int last = co.size;
         for (auto it = co.history.rbegin(); it != co.history.rend(); ++it) {
             if (double(last - it->second) / double(last) > 0.1) break;
@@ -129,7 +139,7 @@ void mser_pass(Ctx& c) {
             Component top = comp_stack.back();
             // check stability before merging away
             push_history_and_check(top);
-            emit_if_stable(top);
+            emit_if_stable(top, up_to_level);
             comp_stack.pop_back();
             if (comp_stack.empty() ||
                 comp_stack.back().level > up_to_level) {
@@ -200,7 +210,7 @@ void mser_pass(Ctx& c) {
         if (boundary_min >= 256) {
             // done: emit remaining stack
             while (!comp_stack.empty()) {
-                emit_if_stable(comp_stack.back());
+                emit_if_stable(comp_stack.back(), 255);
                 comp_stack.pop_back();
             }
             return;

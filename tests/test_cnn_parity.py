@@ -103,12 +103,14 @@ def test_orinet_forward_matches_torch():
 
 def test_hardnet_forward_shape_and_norm():
     """HardNet forward sanity: unit-norm before quantization, output in
-    the daemon's quantized range (desc_server.py:42)."""
+    the daemon's quantized range (desc_server.py:42).  Uses the trained
+    weights when present, random (opt-in) otherwise."""
+    import os
     p = _patches(seed=2)
-    params = cnn._get_params.__wrapped__ if hasattr(cnn._get_params, "__wrapped__") else None
     from mods_tpu.config import load_config
     cfg = load_config("/root/reference/build/config_aff_ori_desc_zeromq.ini",
                       "/root/reference/build/iters_HessianZMQ.ini")
+    os.environ["MODS_TPU_ALLOW_RANDOM_CNN"] = "1"
     layers = cnn._get_params(cfg, "hardnet")
     out = np.asarray(cnn.hardnet_forward(jnp.asarray(p), layers))
     assert out.shape == (32, 128)

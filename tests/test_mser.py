@@ -1,0 +1,76 @@
+"""MSER detector tests: the native component-tree binding + the
+iters_MODS escalation path that uses it.
+
+The reference's MSER is the CMP margin-stability implementation
+(detectors/mser/extrema/extrema.cpp:92-193); ours is an independent
+Nister-Stewenius flood-fill re-implementation (native/mser.cpp, built
+via native/Makefile or on import).  SURVEY.md section 7.10 suggested a
+pure-host implementation because it predated the task's explicit
+allowance of native C++ runtime components; the C++ component tree is
+the intended design here (the TPU compute path stays JAX/Pallas).
+"""
+import numpy as np
+import pytest
+import cv2
+
+from mods_tpu.config import load_config, MSERParams
+from mods_tpu.detect.mser import detect_mser
+
+
+@pytest.fixture(scope="module")
+def graf1():
+    img = cv2.imread("/root/reference/build/imgs/graf1.png", 0)
+    assert img is not None
+    return img.astype(np.float32)
+
+
+def test_mser_detects_regions_on_graf(graf1):
+    par = MSERParams(max_area=0.05, min_size=30, min_margin=8)
+    kp = detect_mser(graf1, par)
+    n = int(np.asarray(kp.valid).sum())
+    # graffiti wall: plenty of stable extremal regions in both polarities
+    assert 50 <= n <= 4096, n
+    v = np.asarray(kp.valid)
+    xy = np.asarray(kp.xy)[v]
+    A = np.asarray(kp.A)[v]
+    s = np.asarray(kp.s)[v]
+    h, w = graf1.shape
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] <= w).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] <= h).all()
+    assert (s > 0).all()
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    assert np.all(np.abs(det - 1.0) < 1e-3), "frames must be det-1"
+
+
+def test_mser_synthetic_blobs():
+    """Dark and bright blobs on a flat background are found at the right
+    locations (basic correctness of the component tree, both polarities)."""
+    img = np.full((160, 200), 128.0, np.float32)
+    cv2.circle(img, (50, 50), 12, 30, -1)       # dark blob
+    cv2.circle(img, (150, 100), 15, 230, -1)    # bright blob
+    par = MSERParams(max_area=0.2, min_size=30, min_margin=5)
+    kp = detect_mser(img, par)
+    v = np.asarray(kp.valid)
+    xy = np.asarray(kp.xy)[v]
+    assert len(xy) >= 2
+    d_dark = np.min(np.linalg.norm(xy - np.array([50, 50]), axis=1))
+    d_bright = np.min(np.linalg.norm(xy - np.array([150, 100]), axis=1))
+    assert d_dark < 5.0, d_dark
+    assert d_bright < 5.0, d_bright
+
+
+def test_iters_mods_end_to_end(graf1):
+    """iters_MODS (MSER step 0) through match_images on a downscaled
+    self-pair: no crash, matches found (exercises the MSER -> reproject
+    -> orient -> describe -> match path)."""
+    from mods_tpu.twoview import match_images
+    cfg = load_config("/root/reference/build/config_affori_classic.ini",
+                      "/root/reference/build/iters_MODS.ini")
+    # keep it cheap: small image, one step
+    img = cv2.resize(graf1, (200, 160))
+    img2 = np.roll(img, 4, axis=1)
+    cfg.iters = cfg.iters[:1]
+    r = match_images(img, img2, cfg)
+    assert r.regions1 > 0
+    assert r.unique_tentatives > 5, r.unique_tentatives
+    assert r.inliers > 5, r.inliers

@@ -86,9 +86,6 @@ def main():
     timeit("localize (4096)", loc, resp, bstack, lev, r0, c0, cand_valid)
 
 
-if __name__ == "__main__":
-    main()
-    extra()
 
 
 def extra():
@@ -111,3 +108,8 @@ def extra():
     bb = jax.jit(lambda l, x, y, r, v: baumberg_batch(
         stack, l, x, y, r, v, fc.hessian.affine, engine="pallas"))
     timeit("baumberg pallas (4096)", bb, lev, xy[:, 0], xy[:, 1], ratio, ok)
+
+
+if __name__ == "__main__":
+    main()
+    extra()
