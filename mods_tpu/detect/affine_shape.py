@@ -110,6 +110,9 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
     if not par.doBaumberg:
         return jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1)), valid
 
+    if par.method == "Hessian":
+        return _baumberg_hessian(blurs, lev, lx, ly, ratio, valid, par)
+
     if engine == "pallas":
         # whole SMM iteration inside one Pallas kernel; the per-keypoint
         # window is DMA'd HBM->VMEM inside the kernel (XLA-side vmapped
@@ -203,3 +206,84 @@ def baumberg_batch(blurs: jnp.ndarray, lev: jnp.ndarray,
     init = (jnp.int32(0), eye, jnp.zeros(n), ~valid, jnp.zeros(n, bool), eye)
     _, u, _, done, ok, out_u = jax.lax.while_loop(cond, body, init)
     return out_u, ok & valid
+
+
+def _baumberg_hessian(blurs, lev, lx, ly, ratio, valid,
+                      par: AffineShapeParams):
+    """AFF_BMBRG_HESSIAN variant (affine.cpp:92-131): iterate on the 3x3
+    Hessian of the warped patch via an SVD-style inverse-sqrt update
+    Ap <- Au Ap Au.  affRatio = s * affMeasRegion (octave pixels); our
+    `ratio` is s / initialSigma, so affRatio = ratio * initialSigma *
+    affMeasRegion.  Masked fixed-iteration semantics preserve the
+    reference's accept/reject ordering."""
+    n = lx.shape[0]
+    aff_ratio = ratio * par.initialSigma * par.affMeasRegion
+    conv = par.convergenceThreshold
+
+    sample3 = jax.vmap(
+        lambda l, x, y, A: imops.affine_sample_level(blurs, l, x, y, A, 3, 3))
+
+    def body(state):
+        it, U, erb, era_prev, done, ok, outU = state
+        A_all = U * aff_ratio[:, None, None]
+        p = sample3(lev, lx, ly, A_all)                       # [n,3,3]
+        Dxx = (p[:, 0, 0] - 2 * p[:, 0, 1] + p[:, 0, 2]
+               + 2 * p[:, 1, 0] - 4 * p[:, 1, 1] + 2 * p[:, 1, 2]
+               + p[:, 2, 0] - 2 * p[:, 2, 1] + p[:, 2, 2])
+        Dyy = (p[:, 0, 0] + 2 * p[:, 0, 1] + p[:, 0, 2]
+               - 2 * p[:, 1, 0] - 4 * p[:, 1, 1] - 2 * p[:, 1, 2]
+               + p[:, 2, 0] + 2 * p[:, 2, 1] + p[:, 2, 2])
+        Dxy = (p[:, 0, 0] - p[:, 0, 2] - p[:, 2, 0] + p[:, 2, 2])
+        # eigendecomposition of symmetric [[Dxx,Dxy],[Dxy,Dyy]]; SVD
+        # ordering = |eigenvalue| descending, vt rows carry the signs
+        tr = Dxx + Dyy
+        disc = jnp.sqrt(jnp.maximum((Dxx - Dyy) ** 2 + 4 * Dxy * Dxy, 0.0))
+        lam1 = (tr + disc) / 2
+        lam2 = (tr - disc) / 2
+        swap = jnp.abs(lam2) > jnp.abs(lam1)
+        big = jnp.where(swap, lam2, lam1)
+        sml = jnp.where(swap, lam1, lam2)
+        theta = 0.5 * jnp.arctan2(2 * Dxy, Dxx - Dyy)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        # eigvec for lam1 is (ct, st); for lam2 (-st, ct)
+        e1 = jnp.stack([jnp.where(swap, -st, ct),
+                        jnp.where(swap, ct, st)], -1)
+        e2 = jnp.stack([jnp.where(swap, ct, -st),
+                        jnp.where(swap, st, ct)], -1)
+        w1 = jnp.abs(big)
+        w2 = jnp.abs(sml)
+        era = 1.0 - w2 / jnp.maximum(w1, 1e-20)
+        det = jnp.sqrt(jnp.maximum(w1 * w2, 1e-20))
+        q2 = jnp.sqrt(jnp.sqrt(w1 / det))
+        q1 = 1.0 / q2
+        # Au = U diag(q1,q2) Vt with Vt rows sign(lam_i) e_i
+        s1 = jnp.sign(big)
+        s2 = jnp.sign(sml)
+        Au = (q1[:, None, None] * s1[:, None, None]
+              * e1[:, :, None] * e1[:, None, :]
+              + q2[:, None, None] * s2[:, None, None]
+              * e2[:, :, None] * e2[:, None, :])
+        Un = Au @ U @ Au
+        nan_bad = ~jnp.all(jnp.isfinite(Un), axis=(1, 2))
+        eok, l1, l2 = eigenvalues_2x2(Un[:, 0, 0], Un[:, 0, 1],
+                                      Un[:, 1, 0], Un[:, 1, 1])
+        aniso_bad = (~eok) | (l1 / l2 > 6.0) | (l2 / l1 > 6.0)
+        converged = (era < conv) & (erb < conv)
+        accept_now = (~done) & (~nan_bad) & (~aniso_bad) & converged
+        reject_now = (~done) & (nan_bad | aniso_bad)
+        outU = jnp.where(accept_now[:, None, None], Un, outU)
+        ok = ok | accept_now
+        done2 = done | accept_now | reject_now
+        U2 = jnp.where(done[:, None, None], U, Un)
+        erb2 = jnp.where(done, erb, era)
+        return (it + 1, U2, erb2, era, done2, ok, outU)
+
+    def cond(state):
+        it, _, _, _, done, _, _ = state
+        return (it < par.maxIterations) & jnp.any(~done)
+
+    eye = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (n, 1, 1))
+    init = (jnp.int32(0), eye, jnp.zeros(n), jnp.zeros(n), ~valid,
+            jnp.zeros(n, bool), eye)
+    _, _, _, _, _, ok, outU = jax.lax.while_loop(cond, body, init)
+    return outU, ok & valid

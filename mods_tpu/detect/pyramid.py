@@ -54,6 +54,15 @@ def dog_response(img: jnp.ndarray, sigma_extra: float) -> jnp.ndarray:
     return img - imops.gaussian_blur(img, sigma_extra)
 
 
+def iidog_response(img: jnp.ndarray, sigma_extra: float) -> jnp.ndarray:
+    """Intensity-invariant DoG (pyramid.cpp:172-194 iidogResponse):
+    DoG scaled by 255/(img + blur) where that sum is below 255."""
+    nxt = imops.gaussian_blur(img, sigma_extra)
+    dog = img - nxt
+    s = img + nxt
+    return jnp.where(s < 255.0, dog * (255.0 / s), dog)
+
+
 def harris_response(img: jnp.ndarray, norm: float) -> jnp.ndarray:
     """Harris cornerness (pyramid.cpp:256-278)."""
     sigmasq = 0.6 * norm
@@ -89,11 +98,18 @@ def build_octave(first_level: jnp.ndarray, par: PyramidParams,
         norms = jnp.asarray(sigmas, jnp.float32)[:, None, None] ** 2
         resp = hessian_response(blur_stack, norms)
     elif par.detector_type == "DoG":
-        # response level i = blurs[i] - blur(blurs[i], step-increment)
-        resp = jnp.stack([
-            blurs[i] - (blurs[i + 1] if i + 1 < len(blurs)
-                        else imops.gaussian_blur(blurs[i], sigmas[i] * math.sqrt(sigma_step ** 2 - 1)))
-            for i in range(len(blurs))])
+        # response level i = blurs[i] - blur(blurs[i], step-increment);
+        # iiDoGMode rescales by 255/(blurs[i] + next) (pyramid.cpp:172-194)
+        def _dog(i):
+            nxt = (blurs[i + 1] if i + 1 < len(blurs)
+                   else imops.gaussian_blur(
+                       blurs[i], sigmas[i] * math.sqrt(sigma_step ** 2 - 1)))
+            d = blurs[i] - nxt
+            if par.iiDoGMode:
+                s = blurs[i] + nxt
+                d = jnp.where(s < 255.0, d * (255.0 / s), d)
+            return d
+        resp = jnp.stack([_dog(i) for i in range(len(blurs))])
     elif par.detector_type == "Harris":
         resp = jnp.stack([harris_response(blurs[i], sigmas[i] ** 2)
                           for i in range(len(blurs))])
