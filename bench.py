@@ -75,6 +75,45 @@ def main():
     dt = (time.time() - t0) / (reps * BATCH)
     pairs_per_s = 1.0 / dt
 
+    # detect+describe ms/image (BASELINE.md metric #2): single-image
+    # extraction on the flagship jit path
+    from mods_tpu.models.flagship import extract_jit, FrozenConfig
+    fc = FrozenConfig(cfg)
+    ex = jax.jit(lambda im: extract_jit(im, fc, max_kp))
+    f = ex(i1)
+    _ = int(jnp.sum(f.det.valid))
+    t0 = time.time()
+    for _r in range(4):
+        f = ex(i1)
+        _ = int(jnp.sum(f.det.valid))
+    extract_ms = (time.time() - t0) / 4 * 1000.0
+
+    # deep config (Hessian+AffNet+OriNet+HardNet, BASELINE.md row 1) —
+    # host-orchestrated pipeline; requires trained HardNet weights
+    deep = {}
+    try:
+        from mods_tpu.twoview import match_images
+        dcfg = load_config(
+            "/root/reference/build/config_aff_ori_desc_zeromq.ini",
+            "/root/reference/build/iters_HessianZMQ.ini")
+        img1g = np.asarray(i1)
+        img2g = np.asarray(i2)
+        r0 = match_images(img1g, img2g, dcfg)     # warm-up/compile
+        t0 = time.time()
+        r1 = match_images(img1g, img2g, dcfg)
+        deep_dt = time.time() - t0
+        deep = {
+            "deep_pairs_per_s": round(1.0 / deep_dt, 3),
+            "deep_vs_baseline": round((1.0 / deep_dt) / (1.0 / 2.52), 2),
+            "deep_inliers": r1.inliers,
+            "deep_tentatives": r1.unique_tentatives,
+        }
+    except FileNotFoundError as e:
+        deep = {"deep_pairs_per_s": None,
+                "deep_error": "HardNet weights missing"}
+    except Exception as e:                        # never break the bench
+        deep = {"deep_pairs_per_s": None, "deep_error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "pairs_per_s",
         "value": round(pairs_per_s, 3),
@@ -84,6 +123,8 @@ def main():
         "pair_time_s": round(dt, 4),
         "single_pair_time_s": round(single_pair_s, 4),
         "batch": BATCH,
+        "detect_desc_ms_per_image": round(extract_ms, 1),
+        **deep,
     }))
 
 

@@ -228,6 +228,16 @@ def _sweep_h(xy1n, xy2n, valid, th_n, key, batch: int):
     h8 = jnp.linalg.solve(A[:, :, :8], -A[:, :, 8:9])[..., 0]
     Hb = jnp.concatenate([h8, jnp.ones((batch, 1), h8.dtype)],
                          -1).reshape(batch, 3, 3)
+    # h33 = 0 fallback: homographies with h33 ~ 0 in normalized coords
+    # (fronto-parallel + strong rotation) make the pinned solve blow up
+    # for EVERY sample containing them; a small eigh-nullspace sub-batch
+    # keeps such models reachable at ~1/16 the per-sample cost increase.
+    n_eig = max(batch // 16, 8)
+    H_eig = h_from_rows(A[:n_eig].reshape(n_eig, 8, 9))
+    pin_ok = (jnp.all(jnp.isfinite(Hb[:n_eig]), axis=(1, 2))
+              & (jnp.max(jnp.abs(Hb[:n_eig]), axis=(1, 2)) < 1e4))
+    Hb = Hb.at[:n_eig].set(jnp.where(pin_ok[:, None, None],
+                                     Hb[:n_eig], H_eig))
     ok = _oriented_ok(p, q, Hb) & jnp.all(jnp.isfinite(Hb), axis=(1, 2))
     db = jax.vmap(lambda H: sampson_h_sq(H, xy1n, xy2n))(Hb)   # [B,M]
     Ib, Jb = msac_score(db, valid[None, :], th_n)
