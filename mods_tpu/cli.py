@@ -96,6 +96,20 @@ def cmd_mods(argv):
         vis = draw_matches(img1, img2, r.final.tentatives, H=r.H,
                            is_f=ver_type in ("LORANSACF", "ORSA"))
         cv2.imwrite(out_img1, vis)
+    if out_img2 and r.final is not None:
+        # per-image annotated output (reference out2: matched regions
+        # drawn on image 2)
+        import cv2
+        import numpy as np
+        from .io.draw import draw_regions
+        from .types import Features, Keypoints
+        t = r.final.tentatives
+        kp2 = Keypoints(xy=t.xy2, A=t.A2, s=t.s2,
+                        response=np.zeros(int(t.m), np.float32),
+                        valid=t.valid)
+        f2vis = Features(det=kp2, reproj=kp2,
+                         desc=np.zeros((int(t.m), 1), np.float32))
+        cv2.imwrite(out_img2, draw_regions(img2, f2vis))
 
     print(f"{r.tentatives} tentatives found.")
     print(f"{r.unique_tentatives} unique tentatives left")
@@ -115,10 +129,15 @@ def cmd_mods(argv):
         write_h(log_out + ".h", r.H)
     if r.final is not None:
         import numpy as np
+        from .io.keys import write_matches_csv
         t = r.final.tentatives
         v = np.asarray(t.valid)
         write_matches(m_out, np.asarray(t.xy1)[v], np.asarray(t.xy2)[v],
                       np.asarray(t.ratio)[v])
+        # CSV variant with FGINN/SNN ratios (WriteMatchings
+        # writeWithRatios, matching.cpp:2596-2608)
+        write_matches_csv(m_out + ".csv", np.asarray(t.xy1)[v],
+                          np.asarray(t.xy2)[v], np.asarray(t.ratio)[v])
     # k1/k2 keypoint files in the native hierarchical format
     # (reference SaveRegions, mods.cpp:404-420 writing path)
     from .io.keys import save_regions_native

@@ -311,6 +311,11 @@ class Config:
     filtering: DuplicateFilteringParams = field(default_factory=DuplicateFilteringParams)
     # escalation schedule
     iters: List[IterationStep] = field(default_factory=list)
+    # external CLI descriptor (reference CLIDescriptorParams,
+    # imagerepresentation.cpp:1017-1090): `<runfile> patches.bmp out.txt`
+    cli_descriptor_runfile: str = ""
+    cli_descriptor_patch_size: int = 41
+    cli_descriptor_mr_size: float = 5.1962
     # misc
     load_color: bool = True
     verbose: bool = False

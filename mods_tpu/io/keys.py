@@ -176,7 +176,8 @@ def load_michal(fname: str) -> Features:
 
 def write_matches(fname: str, xy1: np.ndarray, xy2: np.ndarray,
                   ratios: Optional[np.ndarray] = None) -> None:
-    """WriteMatchings (matching.cpp:2596-2613): 'x1 y1 x2 y2 [ratio]'."""
+    """WriteMatchings plain variant (matching.cpp:2609-2613):
+    'x1 y1 x2 y2 [ratio]' rows."""
     with open(fname, "w") as fh:
         fh.write(f"{len(xy1)}\n")
         for i in range(len(xy1)):
@@ -184,6 +185,26 @@ def write_matches(fname: str, xy1: np.ndarray, xy2: np.ndarray,
             if ratios is not None:
                 row.append(ratios[i])
             fh.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def write_matches_csv(fname: str, xy1: np.ndarray, xy2: np.ndarray,
+                      fginn_ratio: np.ndarray,
+                      snn_ratio: Optional[np.ndarray] = None,
+                      detector: str = "HessianAffine",
+                      descriptor: str = "RootSIFT",
+                      is_correct: Optional[np.ndarray] = None) -> None:
+    """WriteMatchings writeWithRatios variant (matching.cpp:2596-2608):
+    CSV with header 'x1,y1,x2,y2,FGINN_ratio,SNN_ratio,detector,
+    descriptor,is_correct'."""
+    with open(fname, "w") as fh:
+        fh.write("x1,y1,x2,y2,FGINN_ratio,SNN_ratio,detector,descriptor,"
+                 "is_correct \n")
+        for i in range(len(xy1)):
+            snn = snn_ratio[i] if snn_ratio is not None else fginn_ratio[i]
+            corr = int(is_correct[i]) if is_correct is not None else 0
+            fh.write(f"{xy1[i, 0]:g},{xy1[i, 1]:g},{xy2[i, 0]:g},"
+                     f"{xy2[i, 1]:g},{fginn_ratio[i]:g},{snn:g},"
+                     f"{detector},{descriptor},{corr}\n")
 
 
 def write_h(fname: str, H: np.ndarray) -> None:

@@ -240,6 +240,13 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
             from .desc.cnn import hardnet_describe
             desc = hardnet_describe(img_view, kp_desc, cfg)
+        elif desc_name == "CLIDescriptor" and cfg.cli_descriptor_runfile:
+            # external system() escape hatch
+            # (imagerepresentation.cpp:1017-1090)
+            from .desc.cli_desc import describe_with_cli
+            desc = describe_with_cli(
+                img_view, kp_desc, cfg.cli_descriptor_runfile,
+                cfg.cli_descriptor_mr_size, cfg.cli_descriptor_patch_size)
         else:
             raise ValueError(f"unknown descriptor {desc_name}")
         feats = Features(det=kp_desc, reproj=kp_desc_rep,

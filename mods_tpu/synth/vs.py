@@ -158,3 +158,38 @@ def generate_synth_view(img: jnp.ndarray, tilt: float, phi: float, zoom: float,
     out = imops.warp_affine(rotated, Mtz, int(h_new), int(w_new), fill=128.0)
     return SynthView(pixels=out, H=H3, tilt=tilt, phi=math.degrees(phi),
                      zoom=zoom, id=img_id)
+
+
+def generate_synth_view_by_h(img: jnp.ndarray, H: np.ndarray,
+                             init_sigma: float = 0.5, do_blur: bool = True,
+                             img_id: int = 0,
+                             max_wh: Tuple[int, int] = (4000, 4000)
+                             ) -> SynthView:
+    """Warp by an arbitrary given 3x3 H with output-bbox computation.
+
+    reference: GenerateSynthImageByH (synth-detection.cpp:519-576):
+    optional anti-alias blur sigma = InitSigma/4 in both axes, output
+    size = floor of the max projected corner (clamped), warpPerspective
+    INTER_LINEAR with constant border 128."""
+    H = np.asarray(H, np.float64).reshape(3, 3)
+    h, w = img.shape
+    src = img
+    if do_blur:
+        s = init_sigma / 4.0
+        src = imops.gaussian_blur_xy(img, s, s)
+    corners = np.array([[0.0, 0.0, 1], [0, h, 1], [w, 0, 1], [w, h, 1]]).T
+    p = H @ corners
+    p = p[:2] / p[2]
+    dx = int(min(np.floor(p[0].max()), max_wh[0]))
+    dy = int(min(np.floor(p[1].max()), max_wh[1]))
+    Hi = np.linalg.inv(H)
+    x = jnp.arange(dx, dtype=jnp.float32)
+    y = jnp.arange(dy, dtype=jnp.float32)
+    Y, X = jnp.meshgrid(y, x, indexing="ij")
+    wz = Hi[2, 0] * X + Hi[2, 1] * Y + Hi[2, 2]
+    wz = jnp.where(jnp.abs(wz) < 1e-12, 1e-12, wz)
+    wx = (Hi[0, 0] * X + Hi[0, 1] * Y + Hi[0, 2]) / wz
+    wy = (Hi[1, 0] * X + Hi[1, 1] * Y + Hi[1, 2]) / wz
+    pixels = imops.bilinear_gather_constant(src, wx, wy, fill=128.0)
+    return SynthView(pixels=pixels, H=H, tilt=1.0, phi=0.0, zoom=1.0,
+                     id=img_id)
