@@ -163,8 +163,17 @@ def _photometric(rng: np.random.Generator, p: np.ndarray) -> np.ndarray:
 
 
 def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
-                   rot_jitter: float = 0.35) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (anchors, positives) [n_pairs, 32, 32] float32 0..255.
+                   rot_jitter: float = 0.35, draws_per_kp: int = 4,
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (anchors, positives, ids) — patches [n_pairs, 32, 32]
+    float32 0..255, ids [n_pairs] int64 identifying the source keypoint.
+
+    Keypoints are drawn WITH replacement (draws_per_kp per detection on
+    average), so the same physical point appears multiple times under
+    different jitter; `ids` lets the triplet loss exclude those
+    duplicates from hardest-negative mining (they are false negatives —
+    without the mask, val-retrieval accuracy pins at 1/draws_per_kp and
+    the loss floor is the margin minus the duplicate distance).
 
     rot_jitter: residual rotation noise (radians) between anchor and
     positive — the pipeline estimates orientation before describing, so
@@ -172,20 +181,19 @@ def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
     """
     rng = np.random.default_rng(seed)
     imgs = make_base_images(n_images, seed=seed)
-    anchors, positives = [], []
+    anchors, positives, ids = [], [], []
     need = n_pairs
-    for img in imgs:
+    for img_i, img in enumerate(imgs):
         if need <= 0:
             break
         xy, A, s = detect_anchor_frames(img)
         if len(s) < 8:
             continue
-        # draw with replacement: the same keypoint under different jitter
-        # draws yields distinct training pairs, so each base image can
-        # contribute more pairs than it has detections
-        take = max(32, min(4 * len(s), need // max(1, n_images - len(anchors))))
+        take = max(32, min(draws_per_kp * len(s),
+                           need // max(1, n_images - len(anchors))))
         sel = rng.choice(len(s), take, replace=True)
         xy, A, s = xy[sel], A[sel], s[sel]
+        kp_id = img_i * 1_000_000 + sel.astype(np.int64)
         # anchor gets a small jitter too (detections are never exact)
         Aa, xya = _jitter_frames(rng, A, s, xy, max_rot=rot_jitter / 2,
                                  max_aniso=1.15, max_scale=1.1,
@@ -200,7 +208,9 @@ def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
         keep = std > 4.0
         anchors.append(pa[keep])
         positives.append(pp[keep])
+        ids.append(kp_id[keep])
         need -= int(keep.sum())
     a = np.concatenate(anchors)[:n_pairs]
     p = np.concatenate(positives)[:n_pairs]
-    return a.astype(np.float32), p.astype(np.float32)
+    i = np.concatenate(ids)[:n_pairs]
+    return a.astype(np.float32), p.astype(np.float32), i

@@ -92,17 +92,28 @@ def hardnet_embed_train(params: Dict, patches: jnp.ndarray,
 
 
 def triplet_margin_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
-                        margin: float = 1.0) -> jnp.ndarray:
+                        margin: float = 1.0,
+                        ids: jnp.ndarray = None) -> jnp.ndarray:
     """HardNet hardest-in-batch loss (Mishchuk et al. 2017, public):
     per anchor, the hardest negative is the closest non-matching
-    descriptor in the batch (row- and column-wise)."""
+    descriptor in the batch (row- and column-wise).
+
+    ids: optional [n] source-keypoint ids.  Batches are drawn with
+    replacement from per-keypoint jitter draws, so the same physical
+    point can appear twice; its other copies are TRUE matches and must
+    not be mined as negatives (without this mask the loss floor is the
+    anchor-to-duplicate distance and training stalls near the margin)."""
     d = jnp.sqrt(jnp.maximum(
         jnp.sum(anchor ** 2, 1)[:, None] + jnp.sum(positive ** 2, 1)[None, :]
         - 2.0 * jnp.dot(anchor, positive.T,
                         preferred_element_type=jnp.float32), 1e-8))
     pos = jnp.diag(d)
     n = d.shape[0]
-    off = d + jnp.eye(n) * 1e6
+    if ids is not None:
+        same = ids[:, None] == ids[None, :]
+    else:
+        same = jnp.eye(n, dtype=bool)
+    off = d + same * 1e6
     hardest_neg = jnp.minimum(jnp.min(off, axis=0), jnp.min(off, axis=1))
     return jnp.mean(jnp.maximum(margin + pos - hardest_neg, 0.0))
 
@@ -112,19 +123,19 @@ def make_train_step(optimizer: optax.GradientTransformation,
     """train_bn=True runs BatchNorm in training mode (batch statistics)
     and folds the running-stat updates back into params (stats are not
     differentiated through — they ride along like torch buffers)."""
-    def loss_fn(params, anchors, positives):
+    def loss_fn(params, anchors, positives, ids):
         if train_bn:
             both = jnp.concatenate([anchors, positives], 0)
             emb, new_stats = hardnet_embed_train(params, both)
             ea, ep = jnp.split(emb, 2, axis=0)
-            return triplet_margin_loss(ea, ep), new_stats
+            return triplet_margin_loss(ea, ep, ids=ids), new_stats
         ea = hardnet_embed(params, anchors)
         ep = hardnet_embed(params, positives)
-        return triplet_margin_loss(ea, ep), {}
+        return triplet_margin_loss(ea, ep, ids=ids), {}
 
-    def train_step(params, opt_state, anchors, positives):
+    def train_step(params, opt_state, anchors, positives, ids=None):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, anchors, positives)
+            params, anchors, positives, ids)
         # never descend on the BN buffers
         grads = {k: (jnp.zeros_like(v) if k.startswith("bn") else v)
                  for k, v in grads.items()}

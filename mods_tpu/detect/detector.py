@@ -119,7 +119,7 @@ def _select_sort_jit(kp: Keypoints, max_kp: int, mode: str, threshold: float,
     vals, idx = jax.lax.top_k(mag, k)
     out = kp.take(idx, extra_valid=vals >= 0.0)
     if mode == "FixedTh":
-        return out
+        return out.sanitize()
     count = jnp.sum(out.valid)
     rank = jnp.arange(k)
     if mode == "RelativeTh":
@@ -140,7 +140,7 @@ def _select_sort_jit(kp: Keypoints, max_kp: int, mode: str, threshold: float,
     if mode == "FixedRegNumber":
         keep2 = rank < reg_number
         out = Keypoints(out.xy, out.A, out.s, out.response, out.valid & keep2)
-    return out
+    return out.sanitize()
 
 
 def _select_and_sort(kp: Keypoints, par: ScaleSpaceDetectorParams,

@@ -75,7 +75,8 @@ def _describe_fast(pyr: jnp.ndarray, kp: Keypoints, cfg: Config) -> jnp.ndarray:
     pis = 2 * int(mr) + 1
     k = float(pis) / ps
     mask = jnp.asarray(imops.circular_gauss_mask(ps))
-    patches = pe.sample_patches(pyr, kp.xy, kp.A * (k * kp.s)[:, None, None], ps)
+    patches = pe.sample_patches(pyr, kp.xy, kp.A * (k * kp.s)[:, None, None],
+                                ps, valid=kp.valid)
     if par.PEParam.photoNorm:
         patches = imops.photometric_normalize(patches, mask)
     return siftmod.describe_patches(patches, par)
@@ -101,7 +102,7 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
         w, h, kp.xy[:, 0], kp.xy[:, 1], kp.A, K_SIGMA * kp.s, K_SIGMA * kp.s)
     patches_o = pe.sample_patches(pyr, kp.xy,
                                   kp.A * (k_o * kp.s)[:, None, None], ps_o,
-                                  mode="fit")
+                                  mode="fit", valid=kp.valid & ~touch0)
     omask = jnp.asarray(imops.circular_gauss_mask(ps_o, ps_o / 3.0))
     hist = ori.orientation_histogram(patches_o, omask, False)
     angles, aok = ori.dominant_angles(hist, float(dom.threshold), max_angles)

@@ -355,8 +355,7 @@ def dma_window_origins(cx, cy, lw, lh):
 
 def _dma_resample_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
                          out_ref, wins, sems, *, K: int, P: int,
-                         precision):
-    WY, WX = DMA_WIN_Y, DMA_WIN_X
+                         precision, WY: int, WX: int):
     P2 = P * P
 
     def win_slice(g):
@@ -366,8 +365,14 @@ def _dma_resample_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
 
     i = pl.program_id(0)
     for k in range(K):
-        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
-                              sems.at[k]).start()
+        # skip the window copy AND all math for padding keypoints
+        # (params col 10: 1.0 = live, 0.0 = padding; sorted-by-response
+        # batches put padding in a contiguous tail, but the skip is
+        # per-keypoint so scattered invalidity also benefits)
+        @pl.when(params_ref[k, 10] > 0.5)
+        def _start(k=k):
+            pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                                  sems.at[k]).start()
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, WY), 1).astype(jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, WX), 1).astype(jnp.float32)
@@ -377,6 +382,19 @@ def _dma_resample_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
     ig = (flat_i % P).astype(jnp.float32) - c
 
     for k in range(K):
+        @pl.when(params_ref[k, 10] <= 0.5)
+        def _zero(k=k):
+            out_ref[k, :] = jnp.zeros((P2,), jnp.float32)
+
+        @pl.when(params_ref[k, 10] > 0.5)
+        def _go(k=k):
+            _resample_one(params_ref, out_ref, wins, sems, win_slice,
+                          i, k, K, P2, ys, xs, jg, ig, WY, WX, precision)
+
+
+def _resample_one(params_ref, out_ref, wins, sems, win_slice, i, k, K, P2,
+                  ys, xs, jg, ig, WY, WX, precision):
+    if True:
         pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
                               sems.at[k]).wait()
         cxl = params_ref[k, 0]
@@ -405,23 +423,30 @@ def _dma_resample_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
         out_ref[k, :] = jnp.where(inb, vals, 0.0)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("P", "block_k", "precision"))
+@functools.partial(jax.jit, static_argnames=("P", "block_k", "precision",
+                                             "wy", "wx"))
 def dma_hat_resample(pyr: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
                      ox: jnp.ndarray, params: jnp.ndarray, P: int,
                      block_k: int = 8,
-                     precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+                     precision=jax.lax.Precision.DEFAULT,
+                     wy: int = DMA_WIN_Y, wx: int = DMA_WIN_X) -> jnp.ndarray:
     """pyr [L,H,W] (stays in HBM) + per-keypoint level/aligned-origin/
     params -> patches [n, P, P].  params columns as in hat_resample
     (cxl, cyl, a00..a11, ox, oy, lw, lh) with the window-local centre
     relative to the aligned (oy, ox) origin."""
     n = lev.shape[0]
     K = block_k
+    if params.shape[1] < 11:
+        # no explicit liveness column: every row is live
+        params = jnp.concatenate(
+            [params, jnp.zeros((n, 10 - params.shape[1]), params.dtype),
+             jnp.ones((n, 1), params.dtype)], axis=1)
     npad = (-n) % K
     if npad:
         z = lambda a: jnp.concatenate([a, jnp.zeros((npad,), a.dtype)])
         lev, oy, ox = z(lev), z(oy), z(ox)
         params = jnp.concatenate(
-            [params, jnp.ones((npad, params.shape[1]), params.dtype)])
+            [params, jnp.zeros((npad, params.shape[1]), params.dtype)])
     ntot = n + npad
     if params.shape[1] < N_PARAMS:
         params = jnp.pad(params, ((0, 0), (0, N_PARAMS - params.shape[1])))
@@ -437,13 +462,13 @@ def dma_hat_resample(pyr: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
         out_specs=pl.BlockSpec((K, P * P), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K, DMA_WIN_Y, DMA_WIN_X), jnp.float32),
+            pltpu.VMEM((K, wy, wx), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_dma_resample_kernel, K=K, P=P,
-                          precision=precision),
+                          precision=precision, WY=wy, WX=wx),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntot, P * P), jnp.float32),
         interpret=_use_interpret(),
@@ -453,11 +478,11 @@ def dma_hat_resample(pyr: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
 
 def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
                          mask_ref, out_ref, ok_ref, wins, sems,
-                         *, K: int, ws: int, max_iter: int, conv: float):
+                         *, K: int, ws: int, max_iter: int, conv: float,
+                         WY: int, WX: int):
     """Baumberg SMM iteration with the per-keypoint window DMA'd
     HBM -> VMEM inside the kernel (same math as _baumberg_kernel).
-    Window is the aligned (DMA_WIN_Y, DMA_WIN_X) rectangle."""
-    WY, WX = DMA_WIN_Y, DMA_WIN_X
+    Window is the aligned (WY, WX) rectangle."""
     i = pl.program_id(0)
 
     def win_slice(g):
@@ -466,8 +491,11 @@ def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
         return pyr_ref.at[lev_ref[g], pl.ds(oy, WY), pl.ds(ox, WX)]
 
     for k in range(K):
-        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
-                              sems.at[k]).start()
+        # padding/invalid keypoints skip the window copy entirely
+        @pl.when(params_ref[k, 3] > 0.5)
+        def _start(k=k):
+            pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                                  sems.at[k]).start()
 
     ws2 = ws * ws
     n_mask = float(ws * ws)
@@ -479,8 +507,10 @@ def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
     ig = (flat_i % ws).astype(jnp.float32) - c
 
     for k in range(K):
-        pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
-                              sems.at[k]).wait()
+        @pl.when(params_ref[k, 3] > 0.5)
+        def _wait(k=k):
+            pltpu.make_async_copy(win_slice(i * K + k), wins.at[k],
+                                  sems.at[k]).wait()
         cxl = params_ref[k, 0]
         cyl = params_ref[k, 1]
         ratio = params_ref[k, 2]
@@ -600,10 +630,12 @@ def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ws", "max_iter", "conv", "block_k"))
+                   static_argnames=("ws", "max_iter", "conv", "block_k",
+                                    "wy", "wx"))
 def dma_baumberg(stack: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
                  ox: jnp.ndarray, params: jnp.ndarray, mask: jnp.ndarray,
-                 ws: int, max_iter: int, conv: float, block_k: int = 8
+                 ws: int, max_iter: int, conv: float, block_k: int = 8,
+                 wy: int = DMA_WIN_Y, wx: int = DMA_WIN_X
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """stack [L,H,W] (HBM) + per-kp level/origin/params -> (U, ok).
     params columns as in baumberg_pallas, window-local centre relative
@@ -637,13 +669,13 @@ def dma_baumberg(stack: jnp.ndarray, lev: jnp.ndarray, oy: jnp.ndarray,
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, DMA_WIN_Y, DMA_WIN_X), jnp.float32),
+            pltpu.VMEM((K, wy, wx), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )
     out, okf = pl.pallas_call(
         functools.partial(_dma_baumberg_kernel, K=K, ws=ws,
-                          max_iter=max_iter, conv=conv),
+                          max_iter=max_iter, conv=conv, WY=wy, WX=wx),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ntot, 4), jnp.float32),

@@ -105,7 +105,8 @@ def build_mip_pyramid(img: jnp.ndarray, init_sigma: float = 1.6,
 @partial(jax.jit, static_argnames=("out_size", "mode"))
 def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                    out_size: int, mode: str = "antialias",
-                   sigma_target: jnp.ndarray = None) -> jnp.ndarray:
+                   sigma_target: jnp.ndarray = None,
+                   valid: jnp.ndarray = None) -> jnp.ndarray:
     """Affine patches from a mip pyramid (auto level selection).
 
     patch[n,p,q] = img(xy[n] + A[n] @ (q-c, p-c)), A in image pixels,
@@ -125,7 +126,7 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
     spacing_arr = jnp.asarray(_LEVEL_SPACING[:L], jnp.float32)
     sigma_arr = jnp.asarray(_LEVEL_SIGMAS[:L], jnp.float32)
 
-    def impl(xy, A, sig_t):
+    def impl(xy, A, sig_t, live):
         m = xy.shape[0]
         corn = jnp.stack([(A[:, :, 0] + A[:, :, 1]) * c,
                           (A[:, :, 0] - A[:, :, 1]) * c], -1)
@@ -193,7 +194,8 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                     A[:, 0, 0] / scale_l, A[:, 0, 1] / scale_l,
                     A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
                     oxd.astype(jnp.float32), oyd.astype(jnp.float32),
-                    lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
+                    lwv.astype(jnp.float32), lhv.astype(jnp.float32),
+                    live], -1)
                 # Mosaic supports DEFAULT (1 bf16 MXU pass) or HIGHEST
                 # (6 passes) only; DEFAULT's ~0.2% sample error washes out
                 # in the gradient histograms all consumers compute.
@@ -245,7 +247,11 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                                  - A[:, 0, 1] * A[:, 1, 0]) + 1e-12)
         # total blur: inherent image sigma + the reference's 1.5*k
         sigma_target = jnp.sqrt(_LEVEL_SIGMAS[0] ** 2 + (1.5 * k_iso) ** 2)
-    return _chunked(impl, 3, n)(xy, A, sigma_target)
+    if valid is None:
+        valid = jnp.ones((n,), jnp.float32)
+    else:
+        valid = valid.astype(jnp.float32)
+    return _chunked(impl, 4, n)(xy, A, sigma_target, valid)
 
 
 @partial(jax.jit, static_argnames=("out_size",))

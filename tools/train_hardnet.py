@@ -47,20 +47,22 @@ def main():
     if os.path.exists(args.data_cache):
         z = np.load(args.data_cache)
         anchors, positives = z["a"], z["p"]
+        kp_ids = z["i"] if "i" in z.files else np.arange(len(anchors))
         print(f"loaded {len(anchors)} cached pairs", flush=True)
     else:
         t0 = time.time()
-        anchors, positives = D.generate_pairs(args.pairs,
-                                              n_images=args.images)
+        anchors, positives, kp_ids = D.generate_pairs(args.pairs,
+                                                      n_images=args.images)
         print(f"generated {len(anchors)} pairs in {time.time()-t0:.0f}s",
               flush=True)
-        np.savez(args.data_cache, a=anchors, p=positives)
+        np.savez(args.data_cache, a=anchors, p=positives, i=kp_ids)
 
     n = len(anchors)
     n_val = min(4096, n // 10)
     val_a = jnp.asarray(anchors[:n_val])
     val_p = jnp.asarray(positives[:n_val])
-    tr_a, tr_p = anchors[n_val:], positives[n_val:]
+    val_i = jnp.asarray(kp_ids[:n_val])
+    tr_a, tr_p, tr_i = anchors[n_val:], positives[n_val:], kp_ids[n_val:]
     ntr = len(tr_a)
 
     key = jax.random.PRNGKey(42)
@@ -71,19 +73,23 @@ def main():
     step = jax.jit(T.make_train_step(optimizer, train_bn=True))
 
     @jax.jit
-    def fpr95(params, a, p):
+    def fpr95(params, a, p, ids):
         """validation: FPR at 95% TPR on distance-matrix retrieval +
-        matching accuracy (nearest neighbor is the true positive)."""
+        matching accuracy (the retrieved nearest neighbor comes from the
+        same source keypoint — duplicates of the true point count)."""
         ea = T.hardnet_embed(params, a)
         ep = T.hardnet_embed(params, p)
         d = jnp.sqrt(jnp.maximum(
             jnp.sum(ea ** 2, 1)[:, None] + jnp.sum(ep ** 2, 1)[None, :]
             - 2.0 * ea @ ep.T, 1e-8))
         pos = jnp.diag(d)
-        acc = jnp.mean(jnp.argmin(d, axis=1) == jnp.arange(d.shape[0]))
+        acc = jnp.mean(ids[jnp.argmin(d, axis=1)] == ids)
         th = jnp.percentile(pos, 95.0)
         m = d.shape[0]
-        neg_below = (jnp.sum(d <= th) - jnp.sum(pos <= th)) / (m * (m - 1))
+        same = ids[:, None] == ids[None, :]
+        neg_mask = ~same
+        neg_below = (jnp.sum((d <= th) & neg_mask)
+                     / jnp.maximum(jnp.sum(neg_mask), 1))
         return acc, neg_below
 
     rng = np.random.default_rng(0)
@@ -92,9 +98,10 @@ def main():
         sel = rng.integers(0, ntr, args.batch)
         a = jnp.asarray(tr_a[sel])
         p = jnp.asarray(tr_p[sel])
-        params, opt_state, loss = step(params, opt_state, a, p)
+        ii = jnp.asarray(tr_i[sel])
+        params, opt_state, loss = step(params, opt_state, a, p, ii)
         if i % 200 == 0 or i == args.steps - 1:
-            acc, fpr = fpr95(params, val_a, val_p)
+            acc, fpr = fpr95(params, val_a, val_p, val_i)
             print(f"step {i:5d} loss {float(loss):.4f} "
                   f"val_acc {float(acc):.4f} fpr95 {float(fpr):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
