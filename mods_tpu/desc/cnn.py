@@ -190,6 +190,46 @@ def orinet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # Pipeline adapters (replace DescribeWithZmq call sites)
 # --------------------------------------------------------------------------- #
+# Single-entry mip-pyramid cache: extract_view calls the three CNN
+# stages back-to-back on the SAME view image; identity is object identity.
+_PYR_CACHE: list = []
+
+
+def _mip_for(img: jnp.ndarray):
+    for im, pyr in _PYR_CACHE:
+        if im is img:
+            return pyr
+    from ..ops import patch_engine as pe
+    pyr = pe.build_mip_pyramid(img, 1.6)
+    _PYR_CACHE[:] = [(img, pyr)]
+    return pyr
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
+                     patch_size: int) -> jnp.ndarray:
+    """On-device CNN patch sampling via the mip patch engine.
+
+    Same geometry as the reference slow path (ExtractPatchesColumn,
+    synth-detection.cpp:38-102): per-keypoint patchImageSize =
+    2*ceil(s*mrSize)+1, k = pis/patchSize; the slow path's
+    blur(1.5k)+subsample is approximated by the engine's anti-aliased
+    level blend (same approximation the flagship classic path uses).
+    Output rounded/clipped like the daemons' PNG wire format
+    (imagerepresentation.cpp:36-45)."""
+    from ..ops import patch_engine as pe
+    pis = 2.0 * jnp.ceil(s * mr_size) + 1.0
+    k = pis / patch_size
+    step = A * k[:, None, None]
+    p = pe.sample_patches(pyr, xy, step, patch_size, valid=valid)
+    return jnp.clip(jnp.round(p), 0.0, 255.0)
+
+
+def _use_engine() -> bool:
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
 def _cnn_patches(img: jnp.ndarray, kp: Keypoints, mr_size: float,
                  patch_size: int) -> Tuple[np.ndarray, np.ndarray]:
     """ExtractPatchesColumn(slow, photoNorm=False) + PNG uint8 rounding
@@ -264,6 +304,12 @@ def _random_params(which: str):
 def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> np.ndarray:
     """ZMQ descriptor path equivalent (imagerepresentation.cpp:992-1006)."""
     params = _get_params(cfg, "hardnet")
+    if _use_engine():
+        # on-device end to end: patches never leave the TPU
+        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+                                cfg.hardnet.mrSize, cfg.hardnet.patchSize)
+        d = np.asarray(hardnet_forward(pall, params))
+        return np.where(np.asarray(kp.valid)[:, None], d, 0.0).astype(np.float32)
     p, valid = _cnn_patches(img, kp, cfg.hardnet.mrSize, cfg.hardnet.patchSize)
     n = len(p)
     d = np.asarray(hardnet_forward(jnp.asarray(_pad_pow2(p)), params))[:n]
@@ -277,9 +323,18 @@ def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> Keypoints:
     a12=0 + rectify + eigen/anisotropy + border filtering."""
     from ..detect.affine_shape import eigenvalues_2x2, rectify_up_is_up
     params = _get_params(cfg, "affnet")
-    p, valid = _cnn_patches(img, kp, cfg.affnet.mrSize, cfg.affnet.patchSize)
-    n = len(p)
-    abc = np.asarray(affnet_forward(jnp.asarray(_pad_pow2(p)), params))[:n]
+    if _use_engine():
+        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+                                cfg.affnet.mrSize, cfg.affnet.patchSize)
+        abc_all = np.asarray(affnet_forward(pall, params))
+        valid = np.asarray(kp.valid)
+        abc = abc_all[valid]
+    else:
+        p, valid = _cnn_patches(img, kp, cfg.affnet.mrSize,
+                                cfg.affnet.patchSize)
+        n = len(p)
+        abc = np.asarray(affnet_forward(jnp.asarray(_pad_pow2(p)),
+                                        params))[:n]
     A = np.zeros((kp.n, 2, 2), np.float32)
     A[:, 0, 0] = 1.0
     A[:, 1, 1] = 1.0
@@ -301,9 +356,18 @@ def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> Keypoints:
     """OriNet orientation path (imagerepresentation.cpp:877-900):
     angle = atan2(y, x), A <- A . R(angle)."""
     params = _get_params(cfg, "orinet")
-    p, valid = _cnn_patches(img, kp, cfg.orinet.mrSize, cfg.orinet.patchSize)
-    n = len(p)
-    yx = np.asarray(orinet_forward(jnp.asarray(_pad_pow2(p)), params))[:n]
+    if _use_engine():
+        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+                                cfg.orinet.mrSize, cfg.orinet.patchSize)
+        yx_all = np.asarray(orinet_forward(pall, params))
+        valid = np.asarray(kp.valid)
+        yx = yx_all[valid]
+    else:
+        p, valid = _cnn_patches(img, kp, cfg.orinet.mrSize,
+                                cfg.orinet.patchSize)
+        n = len(p)
+        yx = np.asarray(orinet_forward(jnp.asarray(_pad_pow2(p)),
+                                       params))[:n]
     angle = np.zeros(kp.n, np.float32)
     angle[valid] = np.arctan2(yx[:, 0], yx[:, 1])
     ci = np.cos(angle)

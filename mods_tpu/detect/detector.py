@@ -65,14 +65,41 @@ def _detect_octave(first_level: jnp.ndarray, par: ScaleSpaceDetectorParams,
     return kp, next_first, n_ext
 
 
-def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
-                     max_kp: int = 8192, max_octave_cands: int = 4096,
-                     tilt: float = 1.0, zoom: float = 1.0) -> Keypoints:
-    """Full multi-octave detection.  img: [H,W] float32 0..255.
+class _FrozenPar:
+    """Hashable wrapper so detector params can be a static jit arg."""
 
-    tilt/zoom implement the synthesized-view region-count rescale
-    (scale-space-detector.cpp:20-21) for reg-number modes.
-    """
+    def __init__(self, par):
+        self.par = par
+        import json, dataclasses
+
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return {f.name: enc(getattr(o, f.name))
+                        for f in dataclasses.fields(o)}
+            if isinstance(o, (list, tuple)):
+                return [enc(x) for x in o]
+            return o
+        self._key = json.dumps(enc(par), sort_keys=True, default=str)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _FrozenPar) and self._key == other._key
+
+    def __getattr__(self, name):
+        return getattr(self.par, name)
+
+
+@partial(jax.jit, static_argnames=("fpar", "max_kp", "max_octave_cands",
+                                   "reg_number"))
+def _detect_all_jit(img: jnp.ndarray, fpar, max_kp: int,
+                    max_octave_cands: int, reg_number: int) -> Keypoints:
+    """The whole multi-octave detection as ONE program (octave loop
+    unrolls at trace time; shapes are static).  Without this, the host
+    pipeline dispatched every op eagerly — hundreds of ~30 ms relay
+    round-trips per image on the tunneled TPU."""
+    par = fpar
     py = par.pyramid
     cur_sigma = 0.5
     pixel_distance = 1.0
@@ -88,15 +115,15 @@ def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
     min_size = 2 * py.border + 2
     per_octave: List[Keypoints] = []
     oct_i = 0
+    engine = "pallas" if jax.default_backend() == "tpu" else False
     while first.shape[-2] > min_size and first.shape[-1] > min_size:
         cap = max(128, max_octave_cands >> oct_i)
         kp, first, _ = _detect_octave(first, par, py.initialSigma,
-                                      pixel_distance, cap)
+                                      pixel_distance, cap, engine=engine)
         per_octave.append(kp)
         pixel_distance *= 2.0
         oct_i += 1
 
-    n_tot = sum(k.n for k in per_octave)
     allkp = Keypoints(
         xy=jnp.concatenate([k.xy for k in per_octave]),
         A=jnp.concatenate([k.A for k in per_octave]),
@@ -104,7 +131,25 @@ def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
         response=jnp.concatenate([k.response for k in per_octave]),
         valid=jnp.concatenate([k.valid for k in per_octave]),
     )
-    return _select_and_sort(allkp, par, max_kp, tilt, zoom)
+    return _select_sort_jit(allkp, max_kp, py.detector_mode, py.threshold,
+                            py.rel_threshold, reg_number, py.rel_reg_number,
+                            bool(par.affine.doBaumberg))
+
+
+def detect_keypoints(img: jnp.ndarray, par: ScaleSpaceDetectorParams,
+                     max_kp: int = 8192, max_octave_cands: int = 4096,
+                     tilt: float = 1.0, zoom: float = 1.0) -> Keypoints:
+    """Full multi-octave detection.  img: [H,W] float32 0..255.
+
+    tilt/zoom implement the synthesized-view region-count rescale
+    (scale-space-detector.cpp:20-21) for reg-number modes.
+    """
+    py = par.pyramid
+    reg_number = py.reg_number
+    if (tilt > 2.0) or (zoom < 0.5):
+        reg_number = int(math.floor(zoom * reg_number / tilt))
+    return _detect_all_jit(img, _FrozenPar(par), max_kp, max_octave_cands,
+                           reg_number)
 
 
 @partial(jax.jit, static_argnames=("max_kp", "mode", "do_baumberg"))
@@ -143,12 +188,3 @@ def _select_sort_jit(kp: Keypoints, max_kp: int, mode: str, threshold: float,
     return out.sanitize()
 
 
-def _select_and_sort(kp: Keypoints, par: ScaleSpaceDetectorParams,
-                     max_kp: int, tilt: float, zoom: float) -> Keypoints:
-    py = par.pyramid
-    reg_number = py.reg_number
-    if (tilt > 2.0) or (zoom < 0.5):
-        reg_number = int(math.floor(zoom * reg_number / tilt))
-    return _select_sort_jit(kp, max_kp, py.detector_mode, py.threshold,
-                            py.rel_threshold, reg_number, py.rel_reg_number,
-                            bool(par.affine.doBaumberg))
