@@ -319,6 +319,11 @@ class Config:
     # misc
     load_color: bool = True
     verbose: bool = False
+    # CNN patch sampling path: "auto" = mip engine on TPU, reference
+    # slow path elsewhere; "engine" / "reference" force one path
+    # (bounds the CPU-vs-TPU numeric divergence explicitly — see
+    # tests/test_patch_engine.py::test_engine_vs_reference_tolerance)
+    patch_source: str = "auto"
     # padding caps for fixed-shape device code
     max_keypoints: int = 8192        # per (detector, view)
     max_octave_cands: int = 8192     # candidate extrema per octave

@@ -190,19 +190,6 @@ def orinet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # Pipeline adapters (replace DescribeWithZmq call sites)
 # --------------------------------------------------------------------------- #
-# Single-entry mip-pyramid cache: extract_view calls the three CNN
-# stages back-to-back on the SAME view image; identity is object identity.
-_PYR_CACHE: list = []
-
-
-def _mip_for(img: jnp.ndarray):
-    for im, pyr in _PYR_CACHE:
-        if im is img:
-            return pyr
-    from ..ops import patch_engine as pe
-    pyr = pe.build_mip_pyramid(img, 1.6)
-    _PYR_CACHE[:] = [(img, pyr)]
-    return pyr
 
 
 @partial(jax.jit, static_argnames=("patch_size",))
@@ -225,9 +212,26 @@ def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
     return jnp.clip(jnp.round(p), 0.0, 255.0)
 
 
-def _use_engine() -> bool:
+def _use_engine(cfg: Config) -> bool:
+    """Engine vs reference patch path — explicit config gate (round-3
+    advisor: the backend-implicit switch made CPU tests silently not
+    cover the TPU numerics).  "auto" keeps the old behavior; force with
+    cfg.patch_source = "engine" | "reference"."""
+    src = getattr(cfg, "patch_source", "auto")
+    if src == "engine":
+        return True
+    if src == "reference":
+        return False
     import jax as _jax
     return _jax.default_backend() == "tpu"
+
+
+def mip_pyramid(img: jnp.ndarray):
+    """Build the shared mip pyramid for the three CNN stages of a view.
+    Callers (pipeline.extract_view) build this ONCE per view and pass it
+    to hardnet_describe/affnet_adapt/orinet_orient."""
+    from ..ops import patch_engine as pe
+    return pe.build_mip_pyramid(img)
 
 
 def _cnn_patches(img: jnp.ndarray, kp: Keypoints, mr_size: float,
@@ -301,12 +305,15 @@ def _random_params(which: str):
     return layers
 
 
-def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> np.ndarray:
+def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config,
+                     pyr: Optional[jnp.ndarray] = None) -> np.ndarray:
     """ZMQ descriptor path equivalent (imagerepresentation.cpp:992-1006)."""
     params = _get_params(cfg, "hardnet")
-    if _use_engine():
+    if _use_engine(cfg):
         # on-device end to end: patches never leave the TPU
-        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+        if pyr is None:
+            pyr = mip_pyramid(img)
+        pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.hardnet.mrSize, cfg.hardnet.patchSize)
         d = np.asarray(hardnet_forward(pall, params))
         return np.where(np.asarray(kp.valid)[:, None], d, 0.0).astype(np.float32)
@@ -318,13 +325,16 @@ def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> np.ndarray
     return out
 
 
-def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> Keypoints:
+def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config,
+                 pyr: Optional[jnp.ndarray] = None) -> Keypoints:
     """AffNet affine-shape path (imagerepresentation.cpp:798-855):
     a12=0 + rectify + eigen/anisotropy + border filtering."""
     from ..detect.affine_shape import eigenvalues_2x2, rectify_up_is_up
     params = _get_params(cfg, "affnet")
-    if _use_engine():
-        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+    if _use_engine(cfg):
+        if pyr is None:
+            pyr = mip_pyramid(img)
+        pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.affnet.mrSize, cfg.affnet.patchSize)
         abc_all = np.asarray(affnet_forward(pall, params))
         valid = np.asarray(kp.valid)
@@ -352,12 +362,15 @@ def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> Keypoints:
                      kp.valid & aniso & ~touch)
 
 
-def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config) -> Keypoints:
+def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config,
+                  pyr: Optional[jnp.ndarray] = None) -> Keypoints:
     """OriNet orientation path (imagerepresentation.cpp:877-900):
     angle = atan2(y, x), A <- A . R(angle)."""
     params = _get_params(cfg, "orinet")
-    if _use_engine():
-        pall = _cnn_patches_jit(_mip_for(img), kp.xy, kp.A, kp.s, kp.valid,
+    if _use_engine(cfg):
+        if pyr is None:
+            pyr = mip_pyramid(img)
+        pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.orinet.mrSize, cfg.orinet.patchSize)
         yx_all = np.asarray(orinet_forward(pall, params))
         valid = np.asarray(kp.valid)

@@ -74,6 +74,46 @@ def _shapes(rng: np.random.Generator, size: int) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def _text_texture(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Dense random glyphs over shaded background — high-frequency
+    structured texture (poster/graffiti-like edge statistics)."""
+    import cv2
+    img = np.full((size, size), int(rng.uniform(40, 220)), np.uint8)
+    glyphs = "abcdefghijklmnopqrstuvwxyzABCDEFGHJKLMNPQRSTUVWXYZ0123456789#@&%?!"
+    for _ in range(rng.integers(40, 120)):
+        txt = "".join(rng.choice(list(glyphs))
+                      for _ in range(rng.integers(1, 6)))
+        org = tuple(int(v) for v in rng.integers(0, size, 2))
+        fs = float(rng.uniform(0.5, 3.0))
+        shade = int(rng.uniform(0, 255))
+        th = int(rng.integers(1, 4))
+        cv2.putText(img, txt, org, int(rng.integers(0, 8)), fs, shade, th,
+                    cv2.LINE_AA)
+    return img.astype(np.float32)
+
+
+def _lines_texture(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Random line segments / arcs — man-made structure statistics."""
+    import cv2
+    img = _perlin_like(rng, size) * 0.4 + 60.0
+    for _ in range(rng.integers(30, 90)):
+        p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+        p2 = tuple(int(v) for v in rng.integers(0, size, 2))
+        cv2.line(img, p1, p2, float(rng.uniform(0, 255)),
+                 int(rng.integers(1, 5)), cv2.LINE_AA)
+    return img.astype(np.float32)
+
+
+# natural photos available offline (no benchmark images here — graf1/6
+# are the golden test pair and are deliberately EXCLUDED from training)
+_PHOTO_PATHS = (
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/alien1.jpg",
+    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/intro_freedom.jpg",
+    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/intro_blade.jpg",
+)
+
+
 def make_base_images(n: int, size: int = 512, seed: int = 0,
                      include_graf: bool = True) -> List[np.ndarray]:
     import cv2
@@ -85,12 +125,23 @@ def make_base_images(n: int, size: int = 512, seed: int = 0,
             im = cv2.imread(p)
             if im is not None:
                 imgs.append(im.astype(np.float32).mean(axis=2))
+    for p in _PHOTO_PATHS:
+        if len(imgs) >= n:
+            break
+        im = cv2.imread(p)
+        if im is not None and min(im.shape[:2]) >= 128:
+            g = im.astype(np.float32).mean(axis=2)
+            imgs.append(cv2.resize(g, (size, size)))
     while len(imgs) < n:
         mode = rng.random()
-        if mode < 0.4:
+        if mode < 0.25:
             img = _shapes(rng, size)
-        elif mode < 0.7:
+        elif mode < 0.45:
             img = _perlin_like(rng, size)
+        elif mode < 0.65:
+            img = _text_texture(rng, size)
+        elif mode < 0.8:
+            img = _lines_texture(rng, size)
         else:
             img = 0.5 * _shapes(rng, size) + 0.5 * _perlin_like(rng, size)
         # mild blur so gradients are not aliased
@@ -139,7 +190,7 @@ def _sample(img: np.ndarray, xy: np.ndarray, A: np.ndarray, s: np.ndarray):
     # per-pixel step matches the pipeline's descriptor sampling
     # (models/flagship.py _describe_fast): A * s * (2*mrSize+1)/patchSize
     k = float(2 * int(MR_SIZE) + 1) / PATCH
-    pyr = pe.build_mip_pyramid(jnp.asarray(img), 1.6)
+    pyr = pe.build_mip_pyramid(jnp.asarray(img))
     n = len(s)
     # pad to a FIXED pool size so every image reuses one compiled program
     # (variable shapes caused hundreds of LLVM JIT compiles -> OOM)
@@ -164,6 +215,7 @@ def _photometric(rng: np.random.Generator, p: np.ndarray) -> np.ndarray:
 
 def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
                    rot_jitter: float = 0.35, draws_per_kp: int = 4,
+                   include_graf: bool = True,
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (anchors, positives, ids) — patches [n_pairs, 32, 32]
     float32 0..255, ids [n_pairs] int64 identifying the source keypoint.
@@ -180,7 +232,7 @@ def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
     the descriptor only needs to survive small residual rotations.
     """
     rng = np.random.default_rng(seed)
-    imgs = make_base_images(n_images, seed=seed)
+    imgs = make_base_images(n_images, seed=seed, include_graf=include_graf)
     anchors, positives, ids = [], [], []
     need = n_pairs
     for img_i, img in enumerate(imgs):
@@ -210,6 +262,167 @@ def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
         positives.append(pp[keep])
         ids.append(kp_id[keep])
         need -= int(keep.sum())
+    a = np.concatenate(anchors)[:n_pairs]
+    p = np.concatenate(positives)[:n_pairs]
+    i = np.concatenate(ids)[:n_pairs]
+    return a.astype(np.float32), p.astype(np.float32), i
+
+
+# --------------------------------------------------------------------------- #
+# Pipeline-correspondence pairs (homography self-supervision)
+# --------------------------------------------------------------------------- #
+def _random_homography(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Graf-like viewpoint change: random 4-corner perturbation (up to
+    ~28% of the image span) + global rotation.  Covers perspective tilt,
+    anisotropy, scale and rotation jointly."""
+    import cv2
+    m = 0.28 * size
+    src = np.float32([[0, 0], [size, 0], [size, size], [0, size]])
+    dst = src + rng.uniform(-m, m, (4, 2)).astype(np.float32)
+    H = cv2.getPerspectiveTransform(src, dst)
+    th = rng.uniform(-math.pi, math.pi)
+    c, s = math.cos(th), math.sin(th)
+    ctr = size / 2.0
+    R = np.array([[c, -s, ctr - c * ctr + s * ctr],
+                  [s, c, ctr - s * ctr - c * ctr],
+                  [0, 0, 1]], np.float64)
+    return (R @ H).astype(np.float64)
+
+
+def _photometric_image(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    import cv2
+    out = img * rng.uniform(0.65, 1.4) + rng.uniform(-25, 25)
+    if rng.random() < 0.5:
+        out = cv2.GaussianBlur(out, (0, 0), rng.uniform(0.4, 1.1))
+    out = out + rng.normal(0, rng.uniform(0.5, 4.0), out.shape)
+    return np.clip(out, 0, 255).astype(np.float32)
+
+
+def _deep_frames(img: np.ndarray, cfg, max_kp: int):
+    """The deep pipeline's per-view frame chain: Hessian detect ->
+    AffNet shape -> OriNet orientation (the exact test-time frame
+    distribution, imagerepresentation.cpp:798-900)."""
+    from ..detect.detector import detect_keypoints
+    from ..desc.cnn import affnet_adapt, orinet_orient, mip_pyramid, _use_engine
+    dimg = jnp.asarray(img)
+    pyr = mip_pyramid(dimg) if _use_engine(cfg) else None
+    kp = detect_keypoints(dimg, cfg.hessian, max_kp=max_kp,
+                          max_octave_cands=max_kp)
+    kp = affnet_adapt(dimg, kp, cfg, pyr=pyr)
+    kp = orinet_orient(dimg, kp, cfg, pyr=pyr)
+    valid = np.asarray(kp.valid)
+    return (dimg, pyr, np.asarray(kp.xy), np.asarray(kp.A),
+            np.asarray(kp.s), valid)
+
+
+def _deep_patches(dimg, pyr, xy, A, s, cfg) -> np.ndarray:
+    """32x32 descriptor patches for given frames — SAME sampler as the
+    deep inference path (desc/cnn.py _cnn_patches_jit)."""
+    from ..desc.cnn import _cnn_patches_jit, _cnn_patches, _use_engine
+    from ..types import Keypoints
+    n = len(s)
+    m = min(n, _SAMPLE_POOL)
+    pad = _SAMPLE_POOL - m
+    xyp = np.concatenate([xy[:m], np.full((pad, 2), 8.0, np.float32)])
+    Ap = np.concatenate([A[:m], np.tile(np.eye(2, dtype=np.float32),
+                                        (pad, 1, 1))])
+    sp = np.concatenate([s[:m], np.ones(pad, np.float32)])
+    if _use_engine(cfg):
+        p = _cnn_patches_jit(pyr, jnp.asarray(xyp), jnp.asarray(Ap),
+                             jnp.asarray(sp),
+                             jnp.ones(_SAMPLE_POOL, bool),
+                             cfg.hardnet.mrSize, PATCH)
+        return np.asarray(p)[:n]
+    kp = Keypoints(jnp.asarray(xyp), jnp.asarray(Ap), jnp.asarray(sp),
+                   jnp.zeros(_SAMPLE_POOL), jnp.ones(_SAMPLE_POOL, bool))
+    p, _ = _cnn_patches(dimg, kp, cfg.hardnet.mrSize, PATCH)
+    return p[:n]
+
+
+def _correspondences(rng, xy1, s1, xy2, s2, H, max_dist: float = 2.0,
+                     max_srat: float = 1.45):
+    """Mutual-nearest matches of view-2 detections mapped through H^-1
+    into view 1, gated by center distance and Jacobian-corrected scale
+    ratio (the oxford-repeatability criterion, simplified)."""
+    Hi = np.linalg.inv(H)
+    ph = np.concatenate([xy2, np.ones((len(xy2), 1))], 1) @ Hi.T
+    w = ph[:, 2:3]
+    xy2in1 = ph[:, :2] / w
+    # local scale change of H^-1 at each point: |det J| ** 0.5
+    J11 = Hi[0, 0] - xy2in1[:, 0] * Hi[2, 0]
+    J12 = Hi[0, 1] - xy2in1[:, 0] * Hi[2, 1]
+    J21 = Hi[1, 0] - xy2in1[:, 1] * Hi[2, 0]
+    J22 = Hi[1, 1] - xy2in1[:, 1] * Hi[2, 1]
+    detJ = np.abs(J11 * J22 - J12 * J21) / (w[:, 0] ** 2)
+    s2in1 = s2 * np.sqrt(np.maximum(detJ, 1e-12))
+    if len(xy1) == 0 or len(xy2) == 0:
+        return np.zeros((0, 2), np.int64)
+    d = np.linalg.norm(xy1[:, None, :] - xy2in1[None, :, :], axis=-1)
+    srat = np.maximum(s1[:, None] / s2in1[None, :],
+                      s2in1[None, :] / s1[:, None])
+    ok = (d < max_dist) & (srat < max_srat)
+    d = np.where(ok, d, np.inf)
+    nn12 = np.argmin(d, axis=1)
+    nn21 = np.argmin(d, axis=0)
+    i1 = np.arange(len(xy1))
+    mutual = (nn21[nn12] == i1) & np.isfinite(d[i1, nn12])
+    return np.stack([i1[mutual], nn12[mutual]], axis=1)
+
+
+def generate_pairs_pipeline(n_pairs: int, seed: int = 0, n_images: int = 96,
+                            views_per_image: int = 3, max_kp: int = 2048,
+                            size: int = 512, include_graf: bool = False,
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Anchor/positive 32x32 patches harvested by running the REAL deep
+    pipeline (Hessian + AffNet + OriNet) on homography-warped view pairs
+    and keeping geometrically verified correspondences.
+
+    Unlike `generate_pairs` (analytic frame jitter), the nuisances here
+    are the actual test-time ones: detection localization error, AffNet
+    shape residuals, OriNet orientation residuals, resampling and
+    photometric noise.  graf1/graf6 are excluded by default — they are
+    the golden benchmark pair.
+    """
+    import cv2
+    from ..config import load_config
+    rng = np.random.default_rng(seed)
+    cfg = load_config("/root/reference/build/config_aff_ori_desc_zeromq.ini",
+                      "/root/reference/build/iters_HessianZMQ.ini")
+    cfg.max_keypoints = max_kp
+    cfg.max_octave_cands = max_kp
+    imgs = make_base_images(n_images, size=size, seed=seed,
+                            include_graf=include_graf)
+    anchors, positives, ids = [], [], []
+    total = 0
+    for img_i, img in enumerate(imgs):
+        if total >= n_pairs:
+            break
+        base = _photometric_image(rng, img)
+        d1, p1, xy1, A1, s1, v1 = _deep_frames(base, cfg, max_kp)
+        pat1 = None
+        for vi in range(views_per_image):
+            H = _random_homography(rng, size)
+            warped = cv2.warpPerspective(
+                img, H, (size, size), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_REFLECT)
+            warped = _photometric_image(rng, warped)
+            d2, p2, xy2, A2, s2, v2 = _deep_frames(warped, cfg, max_kp)
+            iv1 = np.where(v1)[0]
+            iv2 = np.where(v2)[0]
+            m = _correspondences(rng, xy1[iv1], s1[iv1], xy2[iv2], s2[iv2], H)
+            if len(m) == 0:
+                continue
+            if pat1 is None:
+                pat1 = _deep_patches(d1, p1, xy1[v1], A1[v1], s1[v1], cfg)
+            pat2 = _deep_patches(d2, p2, xy2[v2], A2[v2], s2[v2], cfg)
+            a = pat1[m[:, 0]]
+            p = pat2[m[:, 1]]
+            std = a.std(axis=(1, 2))
+            keep = std > 4.0
+            anchors.append(a[keep])
+            positives.append(p[keep])
+            ids.append(img_i * 1_000_000 + iv1[m[:, 0]][keep].astype(np.int64))
+            total += int(keep.sum())
     a = np.concatenate(anchors)[:n_pairs]
     p = np.concatenate(positives)[:n_pairs]
     i = np.concatenate(ids)[:n_pairs]

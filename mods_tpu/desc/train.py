@@ -169,6 +169,9 @@ def make_sharded_train_step(mesh: Mesh, optimizer: optax.GradientTransformation)
     step = make_train_step(optimizer)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data", None, None))
+    ids_sh = NamedSharding(mesh, P("data"))
+    # ids ride the same data axis — without them the duplicate-negative
+    # mask silently degrades to diagonal-only (round-3 advisor)
     return jax.jit(step,
-                   in_shardings=(repl, repl, batch_sh, batch_sh),
+                   in_shardings=(repl, repl, batch_sh, batch_sh, ids_sh),
                    out_shardings=(repl, repl, repl))

@@ -90,7 +90,7 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
               (kp.xy[:, 1] > 0) & (kp.xy[:, 1] < h))
     kp = Keypoints(kp.xy, kp.A, kp.s, kp.response, kp.valid & inside)
 
-    pyr = pe.build_mip_pyramid(img, cfg.hessian.pyramid.initialSigma)
+    pyr = pe.build_mip_pyramid(img)
 
     # orientation (reference DetectOrientation numerics, engine sampling)
     dom = cfg.domori

@@ -73,8 +73,7 @@ _LEVEL_SIGMAS = (0.5, 0.8, 1.13, 1.6, 2.26, 3.2, 4.52, 6.4, 9.05, 12.8, 18.1)
 _LEVEL_SPACING = (1, 1, 1, 1, 2, 2, 4, 4, 8, 8, 16)
 
 
-def build_mip_pyramid(img: jnp.ndarray, init_sigma: float = 1.6,
-                      n_levels: int = 11) -> jnp.ndarray:
+def build_mip_pyramid(img: jnp.ndarray, n_levels: int = 11) -> jnp.ndarray:
     """[H,W] -> [L,H,W] anti-alias pyramid for patch sampling.
 
     Stand-in for the reference's per-patch smooth(sigma=1.5k)+subsample
@@ -291,9 +290,9 @@ def sample_from_stack(stack: jnp.ndarray, lev: jnp.ndarray, xy: jnp.ndarray,
     return _chunked(impl, 3, n)(lev, xy, A)
 
 
-def sample_patches_from_image(img: jnp.ndarray, xy, A, out_size: int,
-                              init_sigma: float = 1.6) -> jnp.ndarray:
-    pyr = build_mip_pyramid(img, init_sigma)
+def sample_patches_from_image(img: jnp.ndarray, xy, A,
+                              out_size: int) -> jnp.ndarray:
+    pyr = build_mip_pyramid(img)
     return sample_patches(pyr, xy, A, out_size)
 
 

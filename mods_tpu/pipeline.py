@@ -168,6 +168,16 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
     (imagerepresentation.cpp:741-771)."""
     tl = timelog or TimeLog()
 
+    # shared mip pyramid for every engine-path patch consumer of this
+    # view (CNN stages + fast SIFT); built lazily, once
+    _pyr_box: List = []
+
+    def _pyr():
+        if not _pyr_box:
+            from .desc.cnn import mip_pyramid
+            _pyr_box.append(mip_pyramid(img_view))
+        return _pyr_box[0]
+
     t0 = time.time()
     if keypoints is not None:
         kp = keypoints
@@ -179,8 +189,9 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
                               tilt=tilt, zoom=zoom)
         # deep path: AffNet replaces Baumberg (imagerepresentation.cpp:798-855)
         if det_par.affine.useZMQ and detector == "HessianAffine":
-            from .desc.cnn import affnet_adapt
-            kp = affnet_adapt(img_view, kp, cfg)
+            from .desc.cnn import affnet_adapt, _use_engine
+            kp = affnet_adapt(img_view, kp, cfg,
+                              pyr=_pyr() if _use_engine(cfg) else None)
     jax.block_until_ready(kp.valid)
     tl.DetectTime += time.time() - t0
 
@@ -197,8 +208,9 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
     oriented_half: Optional[Keypoints] = None
     if sift_like:
         if cfg.domori.useZMQ:
-            from .desc.cnn import orinet_orient
-            oriented = orinet_orient(img_view, kp_det_filtered, cfg)
+            from .desc.cnn import orinet_orient, _use_engine
+            oriented = orinet_orient(img_view, kp_det_filtered, cfg,
+                                     pyr=_pyr() if _use_engine(cfg) else None)
         else:
             oriented = orient_features(img_view, kp_det_filtered, cfg.domori,
                                        half_sift=False)
@@ -238,8 +250,9 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
                    "HalfRootSIFT": cfg.halfrootsift, "HalfSIFT": cfg.halfsift}[desc_name]
             desc = describe_sift_family(img_view, kp_desc, par)
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
-            from .desc.cnn import hardnet_describe
-            desc = hardnet_describe(img_view, kp_desc, cfg)
+            from .desc.cnn import hardnet_describe, _use_engine
+            desc = hardnet_describe(img_view, kp_desc, cfg,
+                                    pyr=_pyr() if _use_engine(cfg) else None)
         elif desc_name == "CLIDescriptor" and cfg.cli_descriptor_runfile:
             # external system() escape hatch
             # (imagerepresentation.cpp:1017-1090)

@@ -1,15 +1,22 @@
 #!/usr/bin/env python
 """Train HardNet on TPU from synthesized patch pairs and save the weights.
 
-Usage: python tools/train_hardnet.py [--pairs 120000] [--steps 4000]
+Usage: python tools/train_hardnet.py [--pairs 300000] [--steps 20000]
        [--batch 1024] [--out weights/HardNetPS.npz] [--cpu]
+       [--mode mix|pipeline|jitter]
 
 The reference's HardNet++.pth is stripped from the checkout; this
 produces a real (non-random) descriptor trained with the public HardNet
 recipe (hardest-in-batch triplet margin loss, Mishchuk et al. 2017) on
-pipeline-matched synthetic patch pairs (mods_tpu/desc/data.py).
+pipeline-matched patch pairs (mods_tpu/desc/data.py):
+  jitter   — analytic frame jitter around detections
+  pipeline — correspondences harvested by running the real deep pipeline
+             (Hessian+AffNet+OriNet) on homography-warped view pairs
+  mix      — both (default)
+graf1/graf6 (the golden benchmark pair) are excluded from training data.
 """
 import argparse
+import hashlib
 import os
 import sys
 import time
@@ -24,16 +31,20 @@ import jax
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=120000)
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--pairs", type=int, default=300000)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=3e-3)
-    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--images", type=int, default=128)
+    ap.add_argument("--mode", default="mix",
+                    choices=("mix", "pipeline", "jitter"))
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "weights", "HardNetPS.npz"))
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--data-cache", default="/tmp/hardnet_pairs.npz")
+    ap.add_argument("--data-cache-dir", default="/tmp")
+    ap.add_argument("--eval-every", type=int, default=1000)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -44,26 +55,65 @@ def main():
     from mods_tpu.desc import data as D
     from mods_tpu.desc import train as T
 
-    if os.path.exists(args.data_cache):
-        z = np.load(args.data_cache)
-        anchors, positives = z["a"], z["p"]
-        kp_ids = z["i"] if "i" in z.files else np.arange(len(anchors))
-        print(f"loaded {len(anchors)} cached pairs", flush=True)
+    # cache keyed on every generation input (round-3 advisor: a stale
+    # cache silently overrode --pairs/--images)
+    cache_key = hashlib.sha1(
+        f"v2|{args.mode}|{args.pairs}|{args.images}|{args.seed}".encode()
+    ).hexdigest()[:12]
+    cache = os.path.join(args.data_cache_dir, f"hardnet_pairs_{cache_key}.npz")
+
+    if os.path.exists(cache):
+        z = np.load(cache)
+        anchors, positives, kp_ids = z["a"], z["p"], z["i"]
+        print(f"loaded {len(anchors)} cached pairs from {cache}", flush=True)
     else:
         t0 = time.time()
-        anchors, positives, kp_ids = D.generate_pairs(args.pairs,
-                                                      n_images=args.images)
+        parts = []
+        if args.mode in ("mix", "pipeline"):
+            n = args.pairs if args.mode == "pipeline" else args.pairs // 2
+            parts.append(D.generate_pairs_pipeline(
+                n, seed=args.seed, n_images=args.images))
+            print(f"pipeline pairs: {len(parts[-1][0])} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if args.mode in ("mix", "jitter"):
+            n = args.pairs if args.mode == "jitter" else args.pairs // 2
+            parts.append(D.generate_pairs(
+                n, seed=args.seed + 1, n_images=args.images,
+                include_graf=False))
+            print(f"jitter pairs: {len(parts[-1][0])} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        # offset jitter ids into their own namespace
+        off = 0
+        aa, pp, ii = [], [], []
+        for a, p, i in parts:
+            aa.append(a)
+            pp.append(p)
+            ii.append(i + off)
+            off += 1_000_000_000
+        anchors = np.concatenate(aa)
+        positives = np.concatenate(pp)
+        kp_ids = np.concatenate(ii)
         print(f"generated {len(anchors)} pairs in {time.time()-t0:.0f}s",
               flush=True)
-        np.savez(args.data_cache, a=anchors, p=positives, i=kp_ids)
+        np.savez(cache, a=anchors, p=positives, i=kp_ids)
 
     n = len(anchors)
-    n_val = min(4096, n // 10)
-    val_a = jnp.asarray(anchors[:n_val])
-    val_p = jnp.asarray(positives[:n_val])
-    val_i = jnp.asarray(kp_ids[:n_val])
-    tr_a, tr_p, tr_i = anchors[n_val:], positives[n_val:], kp_ids[n_val:]
+    # split train/val BY SOURCE KEYPOINT id (round-3 advisor: row-index
+    # split leaked duplicated keypoints and shared images into val)
+    uids = np.unique(kp_ids)
+    rs = np.random.default_rng(123)
+    rs.shuffle(uids)
+    n_val_ids = max(64, len(uids) // 12)
+    val_id_set = set(uids[:n_val_ids].tolist())
+    is_val = np.asarray([int(i) in val_id_set for i in kp_ids])
+    val_sel = np.where(is_val)[0][:4096]
+    tr_sel = np.where(~is_val)[0]
+    val_a = jnp.asarray(anchors[val_sel])
+    val_p = jnp.asarray(positives[val_sel])
+    val_i = jnp.asarray(kp_ids[val_sel])
+    tr_a, tr_p, tr_i = anchors[tr_sel], positives[tr_sel], kp_ids[tr_sel]
     ntr = len(tr_a)
+    print(f"train {ntr} val {len(val_sel)} pairs", flush=True)
 
     key = jax.random.PRNGKey(42)
     params = T.init_hardnet_params(key)
@@ -85,7 +135,6 @@ def main():
         pos = jnp.diag(d)
         acc = jnp.mean(ids[jnp.argmin(d, axis=1)] == ids)
         th = jnp.percentile(pos, 95.0)
-        m = d.shape[0]
         same = ids[:, None] == ids[None, :]
         neg_mask = ~same
         neg_below = (jnp.sum((d <= th) & neg_mask)
@@ -94,21 +143,26 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
+    best_fpr = 1e9
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     for i in range(args.steps):
         sel = rng.integers(0, ntr, args.batch)
         a = jnp.asarray(tr_a[sel])
         p = jnp.asarray(tr_p[sel])
         ii = jnp.asarray(tr_i[sel])
         params, opt_state, loss = step(params, opt_state, a, p, ii)
-        if i % 200 == 0 or i == args.steps - 1:
+        if i % args.eval_every == 0 or i == args.steps - 1:
             acc, fpr = fpr95(params, val_a, val_p, val_i)
-            print(f"step {i:5d} loss {float(loss):.4f} "
+            print(f"step {i:6d} loss {float(loss):.4f} "
                   f"val_acc {float(acc):.4f} fpr95 {float(fpr):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            if float(fpr) < best_fpr and i > 0:
+                best_fpr = float(fpr)
+                T.save_hardnet_npz(params, args.out + ".best")
+            T.save_hardnet_npz(params, args.out + ".last")
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     T.save_hardnet_npz(params, args.out)
-    print(f"saved {args.out}", flush=True)
+    print(f"saved {args.out} (best fpr95 {best_fpr:.4f})", flush=True)
 
 
 if __name__ == "__main__":
