@@ -184,7 +184,13 @@ def _extract_one(img, cfg):
 
 def cmd_extract(argv):
     from .config import load_config
-    from .io.keys import save_npz, save_oxaff
+    from .io.keys import (save_npz, save_oxaff, save_regions_benchmark,
+                          save_descriptors_benchmark)
+    bench_prefix = None
+    for a in list(argv):
+        if a.startswith("--benchmark-out"):
+            argv.remove(a)
+            bench_prefix = a.split("=", 1)[1] if "=" in a else "bench"
     img_p, out_p = argv[0], argv[1]
     cfg = load_config(argv[2] if len(argv) > 2 else _DEF_CFG,
                       argv[3] if len(argv) > 3 else _DEF_ITERS)
@@ -195,6 +201,15 @@ def cmd_extract(argv):
         save_npz(out_p, f)
     else:
         save_oxaff(out_p, f)
+    if bench_prefix:
+        # OxAff evaluation-protocol splits (SaveRegionsBenchmark /
+        # SaveDescriptorsBenchmark, imagerepresentation.cpp:1515-1603)
+        store = {"Det": {"None": [vf.regions], **{k: [v] for k, v in
+                                                  vf.by_desc.items()}}}
+        save_regions_benchmark(store, bench_prefix + ".reproj_kp",
+                               bench_prefix + ".det_kp")
+        save_descriptors_benchmark(store, bench_prefix + ".desc")
+        print(f"benchmark splits -> {bench_prefix}.{{reproj_kp,det_kp,desc}}")
     print(f"{int(f.count())} descriptors -> {out_p}")
     return 0
 

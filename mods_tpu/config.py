@@ -311,6 +311,11 @@ class Config:
     filtering: DuplicateFilteringParams = field(default_factory=DuplicateFilteringParams)
     # escalation schedule
     iters: List[IterationStep] = field(default_factory=list)
+    # ReadAffs pseudo-detector (reference ReadAffsFromFileParams,
+    # detectors_parameters.hpp:8-13 / imagerepresentation.cpp:741-771):
+    # keypoints loaded from file instead of detected.  `{name}` in the
+    # path is replaced by the image-representation name (img1/img2).
+    read_affs_fname: str = ""
     # external CLI descriptor (reference CLIDescriptorParams,
     # imagerepresentation.cpp:1017-1090): `<runfile> patches.bmp out.txt`
     cli_descriptor_runfile: str = ""
@@ -360,6 +365,8 @@ def _load_scale_space(ini: IniFile, section: str, p: ScaleSpaceDetectorParams) -
     af.doBaumberg = ini.get_bool(section, "doBaumberg", af.doBaumberg)
     af.sampleFromImage = ini.get_bool(section, "sampleFromImage", af.sampleFromImage)
     af.method = ini.get(section, "method", af.method)
+    # external CLI affine-shape estimator (io_mods.cpp:133)
+    af.external_command = ini.get(section, "external_command", af.external_command)
 
 
 def load_config(config_path: str, iters_path: Optional[str] = None) -> Config:
@@ -371,6 +378,8 @@ def load_config(config_path: str, iters_path: Optional[str] = None) -> Config:
     ini = IniFile(config_path)
 
     cfg.load_color = ini.get_bool("Computing", "LoadColor", cfg.load_color)
+    # ReadAffs pseudo-detector source (io_mods.cpp:162-166 GetReadPars)
+    cfg.read_affs_fname = ini.get("ReadAffs", "fname", cfg.read_affs_fname)
 
     _load_scale_space(ini, "HessianAffine", cfg.hessian)
     cfg.hessian.pyramid.detector_type = "Hessian"
@@ -406,6 +415,8 @@ def load_config(config_path: str, iters_path: Optional[str] = None) -> Config:
     do.useZMQ = ini.get_bool(s, "useZMQ", do.useZMQ)
     do.PEParam.mrSize = ini.get_float(s, "mrSize", do.PEParam.mrSize)
     do.PEParam.patchSize = ini.get_int(s, "patchSize", do.PEParam.patchSize)
+    # external CLI orientation estimator (io_mods.cpp:738)
+    do.external_command = ini.get(s, "external_command", do.external_command)
 
     # descriptors
     for name, dp in (("SIFTDescriptor", cfg.sift), ("SIFTDescriptor", cfg.rootsift),

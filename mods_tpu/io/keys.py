@@ -342,3 +342,90 @@ def save_regions_native_ext(fname: str, store: Dict[str, Dict[str, Features]],
                         fh.write(" " + " ".join(
                             f"{v:g}" for v in d["desc"][i][:dim]))
                     fh.write("\n")
+
+
+# --------------------------------------------------------------------------- #
+# Benchmark export hooks (OxAff evaluation-protocol splits)
+# --------------------------------------------------------------------------- #
+def _dense_both_frames(f: Features):
+    """valid rows in BOTH frames: (reproj fields, det fields)."""
+    v = np.asarray(f.valid)
+    out = []
+    for kp in (f.reproj, f.det):
+        out.append((np.asarray(kp.xy, np.float64)[v],
+                    np.asarray(kp.A, np.float64)[v],
+                    np.asarray(kp.s, np.float64)[v]))
+    return out
+
+
+def save_regions_benchmark(store: Dict[str, Dict[str, Features]],
+                           fname1: str, fname2: str) -> None:
+    """reference SaveRegionsBenchmark (imagerepresentation.cpp:1556-1603):
+    fname1 gets reproj_kp lines, fname2 det_kp lines, each
+    `x y s a11 a12 a21 a22` (saveKPBench, :109-111), count first.
+    Exports the "None" (described-less detection) sets."""
+    rows1, rows2 = [], []
+    for det, dmap in store.items():
+        f = dmap.get("None")
+        if f is None:
+            continue
+        fl = f if isinstance(f, list) else [f]
+        for ff in fl:
+            (rxy, rA, rs), (dxy, dA, ds) = _dense_both_frames(ff)
+            for i in range(len(rs)):
+                rows1.append((rxy[i, 0], rxy[i, 1], rs[i], rA[i, 0, 0],
+                              rA[i, 0, 1], rA[i, 1, 0], rA[i, 1, 1]))
+                rows2.append((dxy[i, 0], dxy[i, 1], ds[i], dA[i, 0, 0],
+                              dA[i, 0, 1], dA[i, 1, 0], dA[i, 1, 1]))
+    with open(fname1, "w") as f1, open(fname2, "w") as f2:
+        f1.write(f"{len(rows1)}\n")
+        f2.write(f"{len(rows2)}\n")
+        for r in rows1:
+            f1.write(" ".join(f"{v:g}" for v in r) + "\n")
+        for r in rows2:
+            f2.write(" ".join(f"{v:g}" for v in r) + "\n")
+
+
+def save_descriptors_benchmark(store: Dict[str, Dict[str, Features]],
+                               fname: str) -> None:
+    """reference SaveDescriptorsBenchmark (imagerepresentation.cpp:1515-1554):
+    one whitespace-joined descriptor vector per line, all non-"None"
+    entries (the reference's nested-loop over-read is a bug; the sane
+    per-map iteration is written here)."""
+    with open(fname, "w") as fh:
+        for det, dmap in store.items():
+            for desc_name, f in dmap.items():
+                if desc_name == "None":
+                    continue
+                fl = f if isinstance(f, list) else [f]
+                for ff in fl:
+                    d = features_dense(ff)
+                    for row in d["desc"]:
+                        fh.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def load_affs_text(fname: str) -> Features:
+    """reference ReadAffs text format (imagerepresentation.cpp:746-770):
+    count, then per line `x y s a11 a12 a21 a22`; response forced 100."""
+    import jax.numpy as jnp
+    with open(fname) as fh:
+        toks = fh.read().split()
+    n = int(toks[0])
+    vals = np.asarray([float(t) for t in toks[1:1 + 7 * n]],
+                      np.float64).reshape(n, 7)
+    xy = vals[:, :2].astype(np.float32)
+    s = vals[:, 2].astype(np.float32)
+    A = vals[:, 3:7].reshape(n, 2, 2).astype(np.float32)
+    kp = Keypoints(xy=jnp.asarray(xy), A=jnp.asarray(A), s=jnp.asarray(s),
+                   response=jnp.full(n, 100.0, jnp.float32),
+                   valid=jnp.ones(n, bool))
+    return Features(det=kp, reproj=kp,
+                    desc=jnp.zeros((n, 128), jnp.float32))
+
+
+def load_affs(fname: str) -> Features:
+    """ReadAffs dispatcher: .npz via PreLoadRegionsNPZ semantics, text
+    otherwise (imagerepresentation.cpp:741-771)."""
+    if fname.endswith(".npz"):
+        return load_npz(fname)
+    return load_affs_text(fname)

@@ -188,7 +188,14 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
                               max_octave_cands=cfg.max_octave_cands,
                               tilt=tilt, zoom=zoom)
         # deep path: AffNet replaces Baumberg (imagerepresentation.cpp:798-855)
-        if det_par.affine.useZMQ and detector == "HessianAffine":
+        if det_par.affine.external_command and detector == "HessianAffine":
+            # external CLI affine estimator (imagerepresentation.cpp:792-796)
+            from .desc.cli_desc import affine_shape_with_cli
+            kp = affine_shape_with_cli(
+                img_view, kp, det_par.affine.external_command,
+                mr_size=det_par.affine.mrSize,
+                patch_size=det_par.affine.patchSize)
+        elif det_par.affine.useZMQ and detector == "HessianAffine":
             from .desc.cnn import affnet_adapt, _use_engine
             kp = affnet_adapt(img_view, kp, cfg,
                               pyr=_pyr() if _use_engine(cfg) else None)
@@ -207,7 +214,15 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
     oriented: Optional[Keypoints] = None
     oriented_half: Optional[Keypoints] = None
     if sift_like:
-        if cfg.domori.useZMQ:
+        if cfg.domori.external_command:
+            # external CLI orientation estimator
+            # (imagerepresentation.cpp:874-876)
+            from .desc.cli_desc import orient_with_cli
+            oriented = orient_with_cli(
+                img_view, kp_det_filtered, cfg.domori.external_command,
+                mr_size=cfg.domori.PEParam.mrSize,
+                patch_size=cfg.domori.PEParam.patchSize)
+        elif cfg.domori.useZMQ:
             from .desc.cnn import orinet_orient, _use_engine
             oriented = orinet_orient(img_view, kp_det_filtered, cfg,
                                      pyr=_pyr() if _use_engine(cfg) else None)

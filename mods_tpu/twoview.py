@@ -82,7 +82,8 @@ def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
     H_img, W_img = img.shape
     dimg = jnp.asarray(img)
     for det_name, sched in step.detectors.items():
-        if det_name not in ("HessianAffine", "DoG", "HarrisAffine", "MSER"):
+        if det_name not in ("HessianAffine", "DoG", "HarrisAffine", "MSER",
+                            "ReadAffs"):
             continue
         prev = prev_views.setdefault(det_name, [])
         views, prev_views[det_name] = set_vs_pars(
@@ -96,6 +97,15 @@ def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
             jax.block_until_ready(sv.pixels)
             tl.SynthTime += time.time() - t0
             kp_override = None
+            if det_name == "ReadAffs":
+                # in-schedule pseudo-detector: keypoints from file
+                # (imagerepresentation.cpp:741-771); only meaningful on
+                # the identity view — file frames are in image coords
+                if abs(vp.tilt - 1.0) > 1e-6 or abs(vp.phi) > 1e-6:
+                    continue
+                from .io.keys import load_affs
+                fname = cfg.read_affs_fname.replace("{name}", rep.name)
+                kp_override = load_affs(fname).det
             if det_name == "MSER":
                 # host component tree (native/mser.cpp via ctypes); the
                 # ellipse frames feed the same device stages as the

@@ -115,3 +115,48 @@ def test_draw_matches_epipolar_lines(rng):
     right = out[:, 208:]
     blue_excess = right[..., 0].astype(int) - right[..., 2].astype(int)
     assert blue_excess.max() > 50
+
+
+def test_benchmark_splits(tmp_path):
+    """SaveRegionsBenchmark / SaveDescriptorsBenchmark equivalents
+    (imagerepresentation.cpp:1515-1603)."""
+    f = _features(n=9)
+    store = {"HessianAffine": {"None": [f], "RootSIFT": [f]}}
+    p1 = str(tmp_path / "b.reproj_kp")
+    p2 = str(tmp_path / "b.det_kp")
+    K.save_regions_benchmark(store, p1, p2)
+    for p in (p1, p2):
+        lines = open(p).read().strip().split("\n")
+        assert int(lines[0]) == 9
+        assert len(lines) == 10
+        row = [float(t) for t in lines[1].split()]
+        assert len(row) == 7  # x y s a11 a12 a21 a22
+    np.testing.assert_allclose(
+        [float(t) for t in open(p1).read().split()[1:4]],
+        [float(np.asarray(f.reproj.xy)[0, 0]),
+         float(np.asarray(f.reproj.xy)[0, 1]),
+         float(np.asarray(f.reproj.s)[0])], rtol=1e-5)
+    pd = str(tmp_path / "b.desc")
+    K.save_descriptors_benchmark(store, pd)
+    lines = open(pd).read().strip().split("\n")
+    assert len(lines) == 9
+    np.testing.assert_allclose([float(t) for t in lines[0].split()],
+                               np.asarray(f.desc)[0], rtol=1e-5)
+
+
+def test_read_affs_text_roundtrip(tmp_path):
+    """ReadAffs text format (imagerepresentation.cpp:746-770)."""
+    f = _features(n=5)
+    p = str(tmp_path / "affs.txt")
+    d = K.features_dense(f)
+    with open(p, "w") as fh:
+        fh.write("5\n")
+        for i in range(5):
+            A = d["A"][i]
+            fh.write(f"{d['xy'][i,0]} {d['xy'][i,1]} {d['s'][i]} "
+                     f"{A[0,0]} {A[0,1]} {A[1,0]} {A[1,1]}\n")
+    g = K.load_affs(p)
+    assert int(g.count()) == 5
+    np.testing.assert_allclose(np.asarray(g.det.xy), d["xy"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.det.A), d["A"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g.det.response), 100.0)
