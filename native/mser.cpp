@@ -1,16 +1,29 @@
 // Native MSER component-tree detector (C++), exposed via C ABI for ctypes.
 //
 // TPU-native framework counterpart of the reference's CMP MSER
-// (reference: detectors/mser/** — pixel sort, union-find component tree
-// over intensity thresholds, margin-based stability selection,
-// second-moment ellipse output; extrema.cpp:92-193).  The component tree
-// is inherently sequential/irregular, so it runs on host as native code;
-// ellipses feed the TPU pipeline like any other detector's output.
+// (reference: detectors/mser/**).  The component tree is inherently
+// sequential/irregular, so it runs on host as native code; ellipses feed
+// the TPU pipeline like any other detector's output.
 //
-// Algorithm: flood-fill MSER (Nister & Stewenius ECCV08 linear-time
-// variant) run twice (MSER- on the image, MSER+ on the inverted image).
-// Stability: relative area variation across +-delta intensity levels;
-// selection by min margin, min/max size.
+// This is a faithful re-implementation of the CMP margin-stability
+// algorithm (not the Nister-Stewenius variant):
+//  - pixels processed in increasing intensity, union-find over regions
+//    (reference getExtrema.cpp ProcessPixel/MergeRegions)
+//  - per-region per-level cumulative area/boundary stats; small regions
+//    are tracked compactly and "upgraded" when they reach min_size, at
+//    which point history attribution collapses to the upgrade level
+//    (reference UpgradeRegion, getExtrema.cpp:103-143)
+//  - merge keeps the region largest at the previous level; merged full
+//    regions are finalized if their lifespan exceeds min_margin
+//    (getExtrema.cpp:267-360)
+//  - threshold selection: margin(i) = number of levels the region needs
+//    to grow by its boundary length, non-max suppressed runs, threshold
+//    at localMaxPos + margin/2, plus overlapping-threshold suppression
+//    (optThresh.cpp FastSetOptThresholds4StableRegion /
+//    SuppresOverlappingTresholds4StableRegions)
+//  - ellipse from cumulative continuous second moments (equivalent of
+//    boundary RLE + RLE2Ellipse, libExtrema.cpp:117-159: pixel (x,y)
+//    integrates over [x,x+1]x[y,y+1] => center +0.5, variance +1/12)
 //
 // Build: g++ -O3 -shared -fPIC -o libmser.so mser.cpp
 
@@ -22,245 +35,313 @@
 
 namespace {
 
-struct Component {
-    // growing history for stability analysis
-    int64_t moments_x = 0, moments_y = 0;
-    double moments_xx = 0, moments_xy = 0, moments_yy = 0;
-    int size = 0;
-    int level = 0;                 // gray level the component is at
-    std::vector<std::pair<int,int>> history;  // (level, size) checkpoints
+struct Snap {
+    int level;
+    int64_t area, border;
+    double mx, my, mxx, mxy, myy;
 };
 
-struct Region {
-    double x, y, a11, a12, a21, a22, s;  // ellipse as affine frame
-    int size;
-    double stability;
+struct Reg {
+    int parent = -1;          // union-find (index), -1 = root
+    bool full = false;
+    bool dead = false;
+    int min_int = 0;          // full: upgrade level (reference resets it)
+    int max_int = 0;
+    int last_level = 0;       // level of current accumulators
+    int64_t area = 0, border = 0;
+    double mx = 0, my = 0, mxx = 0, mxy = 0, myy = 0;
+    std::vector<Snap> snaps;  // cumulative at END of snap.level
 };
 
-struct Ctx {
+struct OutRegion {
+    double x, y, a11, a12, a21, a22, s;
+    double margin;
+};
+
+struct Pass {
     const uint8_t* img;
     int w, h;
-    int delta;
-    int min_size, max_size;
-    double max_variation;
+    int min_size;
+    int64_t max_size;
     double min_margin;
-    std::vector<Region> out;
-};
+    std::vector<OutRegion>* out;
 
-// flood-fill MSER pass over one polarity
-void mser_pass(Ctx& c) {
-    const int w = c.w, h = c.h;
-    const int n = w * h;
-    std::vector<uint8_t> accessible(n, 0);
-    // boundary heaps: one stack of pixels per gray level
-    std::vector<std::vector<int>> boundary(256);
-    std::vector<Component> comp_stack;
-    comp_stack.reserve(64);
+    std::vector<Reg> regs;
+    std::vector<int32_t> label;    // per-pixel region index or -1
 
-    auto gray = [&](int p) -> int { return c.img[p]; };
+    int find(int r) {
+        int root = r;
+        while (regs[root].parent >= 0) root = regs[root].parent;
+        while (regs[r].parent >= 0) {   // path compression
+            int nxt = regs[r].parent;
+            regs[r].parent = root;
+            r = nxt;
+        }
+        return root;
+    }
 
-    // start from pixel 0
-    int cur_pixel = 0;
-    int cur_edge = 0;
-    int cur_level = gray(0);
-    accessible[0] = 1;
-    comp_stack.push_back(Component{});
-    comp_stack.back().level = cur_level;
+    void touch(Reg& R, int l) {
+        if (R.last_level < l) {
+            R.snaps.push_back({R.last_level, R.area, R.border,
+                               R.mx, R.my, R.mxx, R.mxy, R.myy});
+            R.last_level = l;
+        }
+    }
 
-    auto push_history_and_check = [&](Component& co) {
-        co.history.push_back({co.level, co.size});
-    };
+    int64_t area_before(Reg& R, int l) {
+        if (R.last_level < l) return R.area;
+        return R.snaps.empty() ? 0 : R.snaps.back().area;
+    }
 
-    auto emit_if_stable = [&](Component& co, int up_level) {
-        // Stability at the last level `lvl` where this component is the
-        // maximal region before merging at `up_level`.  The size has
-        // been constant since co.level (pixels are only added at the
-        // component's own level), so the span [co.level, up_level) is an
-        // implicit flat stretch of history — a component that jumps a
-        // wide level gap (e.g. a flat blob on a flat background) is the
-        // MOST stable case (variation 0), not an unseen one.
-        if (co.size < c.min_size || co.size > c.max_size) return;
-        int lvl = up_level;
-        int lo_size = -1;
-        if (lvl - c.delta >= co.level) {
-            lo_size = co.size;           // constant over the whole span
-        } else {
-            for (auto it = co.history.rbegin(); it != co.history.rend(); ++it) {
-                if (it->first <= lvl - c.delta) { lo_size = it->second; break; }
+    void add_pixel(int ri, int x, int y, int l, int n_lab) {
+        Reg& R = regs[ri];
+        touch(R, l);
+        R.area += 1;
+        R.border += 4 - 2 * n_lab;     // InsMarkPixel: border_total += 4 - border_num
+        double cx = x + 0.5, cy = y + 0.5;
+        R.mx += cx; R.my += cy;
+        R.mxx += cx * cx; R.mxy += cx * cy; R.myy += cy * cy;
+        R.max_int = l;
+        if (!R.full && R.area >= min_size) {
+            // UpgradeRegion: history collapses to the upgrade level
+            R.full = true;
+            R.min_int = l;
+            R.snaps.clear();
+            R.last_level = l;
+        }
+    }
+
+    // dense per-level forward-filled stats over [min_int, max_int]
+    void finalize(Reg& R) {
+        if (R.area < min_size) return;
+        int lo = R.min_int, hi = R.max_int;
+        int n = hi - lo + 1;
+        if (n <= 1) return;
+        std::vector<int64_t> A(n), B(n);
+        std::vector<double> MX(n), MY(n), MXX(n), MXY(n), MYY(n);
+        size_t si = 0;
+        // snaps hold cumulative at END of snap.level; current accumulators
+        // are cumulative at END of max_int
+        int64_t ca = 0, cb = 0;
+        double cmx = 0, cmy = 0, cmxx = 0, cmxy = 0, cmyy = 0;
+        for (int i = 0; i < n; ++i) {
+            int lev = lo + i;
+            while (si < R.snaps.size() && R.snaps[si].level <= lev) {
+                const Snap& s = R.snaps[si];
+                ca = s.area; cb = s.border;
+                cmx = s.mx; cmy = s.my; cmxx = s.mxx; cmxy = s.mxy; cmyy = s.myy;
+                ++si;
             }
-        }
-        if (lo_size <= 0) return;
-        double var = double(co.size - lo_size) / double(lo_size);
-        if (var > c.max_variation) return;
-        // margin: how long the size has been roughly stable (<=10% drop)
-        double margin = lvl - co.level;
-        int last = co.size;
-        for (auto it = co.history.rbegin(); it != co.history.rend(); ++it) {
-            if (double(last - it->second) / double(last) > 0.1) break;
-            margin = lvl - it->first;
-        }
-        if (margin < c.min_margin) return;
-
-        double cx = double(co.moments_x) / co.size;
-        double cy = double(co.moments_y) / co.size;
-        double cxx = co.moments_xx / co.size - cx * cx;
-        double cxy = co.moments_xy / co.size - cx * cy;
-        double cyy = co.moments_yy / co.size - cy * cy;
-        // ellipse frame: A = sqrtm([[cxx,cxy],[cxy,cyy]]), normalized det 1
-        double tr = cxx + cyy, det = cxx * cyy - cxy * cxy;
-        if (det <= 1e-12) return;
-        double sq = std::sqrt(std::max(tr * tr / 4 - det, 0.0));
-        double l1 = tr / 2 + sq, l2 = tr / 2 - sq;
-        if (l2 <= 1e-12) return;
-        // sqrtm via eigen decomposition
-        double theta = 0.5 * std::atan2(2 * cxy, cxx - cyy);
-        double ct = std::cos(theta), st = std::sin(theta);
-        double r1 = std::sqrt(l1), r2 = std::sqrt(l2);
-        double a11 = ct * r1 * ct + st * r2 * st;   // R diag R^T
-        double a12 = ct * r1 * st - st * r2 * ct;
-        double a21 = a12;
-        double a22 = st * r1 * st + ct * r2 * ct;
-        double d2 = std::sqrt(std::abs(a11 * a22 - a12 * a21));
-        // scale: geometric mean radius * 2 (as in reference ellipse size
-        // convention: measurement region multiples applied downstream)
-        Region r;
-        r.x = cx; r.y = cy;
-        r.a11 = a11 / d2; r.a12 = a12 / d2;
-        r.a21 = a21 / d2; r.a22 = a22 / d2;
-        r.s = 2.0 * d2;
-        r.size = co.size;
-        r.stability = margin;
-        c.out.push_back(r);
-    };
-
-    auto merge_top_two = [&](int up_to_level) {
-        // merge top of stack into the next one (or raise its level)
-        while (comp_stack.size() >= 1 && comp_stack.back().level < up_to_level) {
-            Component top = comp_stack.back();
-            // check stability before merging away
-            push_history_and_check(top);
-            emit_if_stable(top, up_to_level);
-            comp_stack.pop_back();
-            if (comp_stack.empty() ||
-                comp_stack.back().level > up_to_level) {
-                // re-insert at new level
-                top.level = std::min(up_to_level,
-                                     comp_stack.empty() ? up_to_level
-                                                        : comp_stack.back().level);
-                comp_stack.push_back(top);
-                return;
+            if (lev >= R.last_level) {
+                ca = R.area; cb = R.border;
+                cmx = R.mx; cmy = R.my; cmxx = R.mxx; cmxy = R.mxy; cmyy = R.myy;
             }
-            Component& nxt = comp_stack.back();
-            nxt.moments_x += top.moments_x;
-            nxt.moments_y += top.moments_y;
-            nxt.moments_xx += top.moments_xx;
-            nxt.moments_xy += top.moments_xy;
-            nxt.moments_yy += top.moments_yy;
-            nxt.size += top.size;
+            A[i] = ca; B[i] = cb;
+            MX[i] = cmx; MY[i] = cmy; MXX[i] = cmxx; MXY[i] = cmxy; MYY[i] = cmyy;
         }
-    };
 
-    const int dx[4] = {1, 0, -1, 0};
-    const int dy[4] = {0, 1, 0, -1};
-
-    std::vector<int> heap_count(256, 0);
-    int boundary_min = 256;
-
-    while (true) {
-        int x = cur_pixel % w, y = cur_pixel / w;
-        bool descended = false;
-        for (; cur_edge < 4; ++cur_edge) {
-            int nx = x + dx[cur_edge], ny = y + dy[cur_edge];
-            if (nx < 0 || ny < 0 || nx >= w || ny >= h) continue;
-            int np = ny * w + nx;
-            if (accessible[np]) continue;
-            int nl = gray(np);
-            accessible[np] = 1;
-            if (nl >= cur_level) {
-                boundary[nl].push_back((np << 2));
-                if (nl < boundary_min) boundary_min = nl;
+        // FastSetOptThresholds4StableRegion scan (optThresh.cpp:69-165)
+        struct Th { int pos, margin, thresh; };
+        std::vector<Th> ths;
+        int i = 0, up = 0;
+        int localMaxMargin = -1, localMaxPos = -1;
+        auto emit_local = [&]() {
+            if (localMaxPos >= 0) {
+                int thresh = localMaxPos + localMaxMargin / 2;
+                if (thresh < n && A[thresh] <= max_size && A[thresh] > min_size)
+                    ths.push_back({localMaxPos, localMaxMargin, thresh});
+                localMaxPos = -1;
+            }
+        };
+        do {
+            up = i + int(min_margin);
+            if (up > n - 1) break;
+            while (A[up] - A[i] < B[i] && up < n - 1) up++;
+            int margin = up - i;
+            double quality = (double)margin;
+            if (quality > min_margin && margin >= localMaxMargin) {
+                localMaxMargin = margin;
+                localMaxPos = i;
             } else {
-                // descend: push current pixel back on boundary, go down
-                boundary[cur_level].push_back((cur_pixel << 2) | (cur_edge + 1));
-                if (cur_level < boundary_min) boundary_min = cur_level;
-                cur_pixel = np;
-                cur_edge = 0;
-                cur_level = nl;
-                comp_stack.push_back(Component{});
-                comp_stack.back().level = nl;
-                descended = true;
-                break;
+                emit_local();
+                localMaxMargin = margin;
             }
-        }
-        if (descended) continue;
+            i++;
+        } while (up < n - 1);
+        emit_local();
 
-        // accumulate current pixel into top component
-        Component& top = comp_stack.back();
-        top.moments_x += x;
-        top.moments_y += y;
-        top.moments_xx += double(x) * x;
-        top.moments_xy += double(x) * y;
-        top.moments_yy += double(y) * y;
-        top.size += 1;
-        top.history.push_back({cur_level, top.size});
-
-        // pop next boundary pixel
-        while (boundary_min < 256 && boundary[boundary_min].empty())
-            ++boundary_min;
-        if (boundary_min >= 256) {
-            // done: emit remaining stack
-            while (!comp_stack.empty()) {
-                emit_if_stable(comp_stack.back(), 255);
-                comp_stack.pop_back();
+        // SuppresOverlappingTresholds4StableRegions (optThresh.cpp:15-65)
+        // pass 1: overlapping stable runs -> keep the higher margin
+        for (size_t a = 0; a + 1 < ths.size();) {
+            Th& t = ths[a];
+            Th& nx = ths[a + 1];
+            if ((t.pos + t.margin < nx.thresh) && (t.thresh < nx.pos)) {
+                ++a;                       // no overlap
+                continue;
             }
-            return;
+            if (nx.margin <= t.margin) ths.erase(ths.begin() + a + 1);
+            else { ths.erase(ths.begin() + a); if (a) --a; }
         }
-        int packed = boundary[boundary_min].back();
-        boundary[boundary_min].pop_back();
-        int np = packed >> 2;
-        int ne = packed & 3;
-        if (boundary_min > cur_level) {
-            // process components up to the new level
-            merge_top_two(boundary_min);
-            if (comp_stack.empty() || comp_stack.back().level != boundary_min) {
-                // ensure a component exists at this level
-                if (comp_stack.empty()) {
-                    comp_stack.push_back(Component{});
-                    comp_stack.back().level = boundary_min;
-                } else {
-                    comp_stack.back().level = boundary_min;
+        // pass 2: merge runs whose areas differ by <= 10%
+        for (size_t a = 0; a + 1 < ths.size();) {
+            Th& t = ths[a];
+            Th& nx = ths[a + 1];
+            if (t.pos + t.margin < nx.pos) { ++a; continue; }
+            if (A[nx.thresh] - A[t.thresh] <= 0.1 * (double)A[t.thresh]) {
+                t.margin = nx.pos - t.pos + nx.margin;
+                t.thresh = t.pos + t.margin / 2;
+                if (t.thresh > n - 1) t.thresh = n - 1;
+                ths.erase(ths.begin() + a + 1);
+            } else ++a;
+        }
+
+        for (const Th& t : ths) {
+            int ti = t.thresh;
+            double area = (double)A[ti];
+            if (area <= 0) continue;
+            double cx = MX[ti] / area, cy = MY[ti] / area;
+            double cxx = MXX[ti] / area - cx * cx + 1.0 / 12.0;
+            double cyy = MYY[ti] / area - cy * cy + 1.0 / 12.0;
+            double cxy = MXY[ti] / area - cx * cy;
+            double tr = cxx + cyy, det = cxx * cyy - cxy * cxy;
+            if (det <= 1e-12) continue;
+            double sq = std::sqrt(std::max(tr * tr / 4 - det, 0.0));
+            double l1 = tr / 2 + sq, l2 = tr / 2 - sq;
+            if (l2 <= 1e-12) continue;
+            // A = sqrtm(C) via eigen decomposition (utls Matrix2
+            // schur_sym + sqrt, extrema.cpp:145-151)
+            double theta = 0.5 * std::atan2(2 * cxy, cxx - cyy);
+            double ct = std::cos(theta), st = std::sin(theta);
+            double r1 = std::sqrt(l1), r2 = std::sqrt(l2);
+            double a11 = ct * r1 * ct + st * r2 * st;
+            double a12 = ct * r1 * st - st * r2 * ct;
+            double a22 = st * r1 * st + ct * r2 * ct;
+            double d2 = std::sqrt(std::abs(a11 * a22 - a12 * a12));
+            if (d2 <= 1e-9) continue;
+            OutRegion r;
+            r.x = cx; r.y = cy;
+            r.a11 = a11 / d2; r.a12 = a12 / d2;
+            r.a21 = a12 / d2; r.a22 = a22 / d2;
+            r.s = d2;           // sqrt|det sqrtm(C)| = (det C)^(1/4)
+            r.margin = t.margin;
+            out->push_back(r);
+        }
+    }
+
+    void run() {
+        const int n = w * h;
+        label.assign(n, -1);
+        regs.clear();
+        regs.reserve(1 << 14);
+
+        // counting sort: pixel offsets per intensity, scan order
+        std::vector<int> hist(257, 0);
+        for (int p = 0; p < n; ++p) hist[img[p] + 1]++;
+        for (int i = 0; i < 256; ++i) hist[i + 1] += hist[i];
+        std::vector<int32_t> order(n);
+        {
+            std::vector<int> cur(hist.begin(), hist.end() - 1);
+            for (int p = 0; p < n; ++p) order[cur[img[p]]++] = p;
+        }
+
+        const int dx[4] = {-1, 0, 1, 0};
+        const int dy[4] = {0, -1, 0, 1};
+        int roots[4];
+
+        for (int pi = 0; pi < n; ++pi) {
+            int p = order[pi];
+            int l = img[p];
+            int x = p % w, y = p / w;
+            int n_lab = 0, n_roots = 0;
+            for (int e = 0; e < 4; ++e) {
+                int nx2 = x + dx[e], ny2 = y + dy[e];
+                if (nx2 < 0 || ny2 < 0 || nx2 >= w || ny2 >= h) continue;
+                int lb = label[ny2 * w + nx2];
+                if (lb < 0) continue;
+                ++n_lab;
+                int r = find(lb);
+                bool seen = false;
+                for (int q = 0; q < n_roots; ++q)
+                    if (roots[q] == r) { seen = true; break; }
+                if (!seen) roots[n_roots++] = r;
+            }
+            int target;
+            if (n_roots == 0) {
+                target = (int)regs.size();
+                regs.push_back(Reg{});
+                regs[target].min_int = l;
+                regs[target].max_int = l;
+                regs[target].last_level = l;
+            } else if (n_roots == 1) {
+                target = roots[0];
+            } else {
+                // MergeRegions: survivor = largest FULL region at the
+                // previous level; simple merge into roots[0] otherwise
+                int best = -1;
+                int64_t bestSize = -1;
+                for (int q = 0; q < n_roots; ++q) {
+                    Reg& R = regs[roots[q]];
+                    if (!R.full) continue;
+                    int64_t sz = area_before(R, l);
+                    if (sz > bestSize) { bestSize = sz; best = roots[q]; }
+                }
+                target = best >= 0 ? best : roots[0];
+                Reg& S = regs[target];
+                touch(S, l);
+                for (int q = 0; q < n_roots; ++q) {
+                    if (roots[q] == target) continue;
+                    Reg& R = regs[roots[q]];
+                    if (R.full) {
+                        // margin pre-filter (getExtrema.cpp:344)
+                        if (double(l - R.min_int + 1) > min_margin) {
+                            touch(R, l);
+                            R.max_int = l;
+                            finalize(R);
+                        }
+                    }
+                    S.area += R.area; S.border += R.border;
+                    S.mx += R.mx; S.my += R.my;
+                    S.mxx += R.mxx; S.mxy += R.mxy; S.myy += R.myy;
+                    R.parent = target;
+                    R.dead = true;
+                    R.snaps.clear();
+                    R.snaps.shrink_to_fit();
                 }
             }
+            label[p] = target;
+            add_pixel(target, x, y, l, n_lab);
         }
-        cur_pixel = np;
-        cur_edge = ne;
-        cur_level = boundary_min;
+
+        // the root region is finalized at the end (getExtrema.cpp:
+        // "process the last region (root)")
+        for (size_t r = 0; r < regs.size(); ++r)
+            if (!regs[r].dead && regs[r].parent < 0 && regs[r].full)
+                finalize(regs[r]);
     }
-}
+};
 
 }  // namespace
 
 extern "C" {
 
 // Detect MSERs.  img: uint8 row-major [h,w].  Results written to out
-// (capacity max_out rows of 8 doubles: x y a11 a12 a21 a22 s size).
+// (capacity max_out rows of 8 doubles: x y a11 a12 a21 a22 s margin).
 // Returns number of regions (<= max_out).  polarity: 0 = dark (MSER-),
-// 1 = bright (MSER+), 2 = both.
+// 1 = bright (MSER+ via inverted image), 2 = both.
 int mser_detect(const uint8_t* img, int w, int h,
-                int delta, int min_size, int max_size,
-                double max_variation, double min_margin,
+                int min_size, long long max_size,
+                double min_margin,
                 int polarity, double* out, int max_out) {
-    std::vector<Region> all;
+    std::vector<OutRegion> all;
     std::vector<uint8_t> buf;
     for (int pol = 0; pol < 2; ++pol) {
         if (polarity != 2 && polarity != pol) continue;
-        Ctx c;
+        Pass c;
         c.w = w; c.h = h;
-        c.delta = delta;
         c.min_size = min_size;
         c.max_size = max_size;
-        c.max_variation = max_variation;
         c.min_margin = min_margin;
+        c.out = &all;
         if (pol == 0) {
             c.img = img;
         } else {
@@ -268,23 +349,21 @@ int mser_detect(const uint8_t* img, int w, int h,
             for (size_t i = 0; i < buf.size(); ++i) buf[i] = 255 - img[i];
             c.img = buf.data();
         }
-        mser_pass(c);
-        all.insert(all.end(), c.out.begin(), c.out.end());
+        c.run();
     }
-    // sort by stability (margin) descending, like the reference's
-    // margin-ranked output
+    // margin-ranked output (prepareKeysForExport sorts by |response|)
     std::sort(all.begin(), all.end(),
-              [](const Region& a, const Region& b) {
-                  return a.stability > b.stability;
+              [](const OutRegion& a, const OutRegion& b) {
+                  return a.margin > b.margin;
               });
-    int n = std::min<int>(all.size(), max_out);
+    int n = std::min<int>((int)all.size(), max_out);
     for (int i = 0; i < n; ++i) {
-        const Region& r = all[i];
+        const OutRegion& r = all[i];
         double* row = out + 8 * i;
         row[0] = r.x; row[1] = r.y;
         row[2] = r.a11; row[3] = r.a12;
         row[4] = r.a21; row[5] = r.a22;
-        row[6] = r.s; row[7] = r.size;
+        row[6] = r.s; row[7] = r.margin;
     }
     return n;
 }

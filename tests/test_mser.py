@@ -2,13 +2,17 @@
 iters_MODS escalation path that uses it.
 
 The reference's MSER is the CMP margin-stability implementation
-(detectors/mser/extrema/extrema.cpp:92-193); ours is an independent
-Nister-Stewenius flood-fill re-implementation (native/mser.cpp, built
-via native/Makefile or on import).  SURVEY.md section 7.10 suggested a
+(detectors/mser/extrema/extrema.cpp:92-193); ours is a faithful native
+re-implementation of the same margin-stability component-tree algorithm
+(native/mser.cpp, built via native/Makefile or on import), pinned
+region-for-region against the locally-built reference oracle binary
+(test_mser_oracle_parity).  SURVEY.md section 7.10 suggested a
 pure-host implementation because it predated the task's explicit
 allowance of native C++ runtime components; the C++ component tree is
 the intended design here (the TPU compute path stays JAX/Pallas).
 """
+import os
+
 import numpy as np
 import pytest
 import cv2
@@ -74,3 +78,38 @@ def test_iters_mods_end_to_end(graf1):
     assert r.regions1 > 0
     assert r.unique_tentatives > 5, r.unique_tentatives
     assert r.inliers > 5, r.inliers
+
+
+def test_mser_oracle_parity():
+    """Region-level parity with the reference CMP MSER binary.
+
+    Fixtures in tests/data/mser_oracle_graf{1,6}.npz were produced by the
+    locally-built reference oracle (tools/oracle/build_reference_oracle.sh,
+    single-step MSER-only schedule).  Requires >=97% mutual matches at
+    <2px / <1.2x scale and exact region count.
+    """
+    import cv2
+    from mods_tpu.config import load_config
+    from mods_tpu.detect.mser import detect_mser
+    base = os.path.join(os.path.dirname(__file__), "data")
+    cfg = load_config("/root/reference/build/config_affori_classic.ini")
+    for name in ("graf1", "graf6"):
+        z = np.load(os.path.join(base, f"mser_oracle_{name}.npz"))
+        img = cv2.imread(f"/root/reference/build/imgs/{name}.png").astype(
+            np.float32).mean(axis=2)
+        kp = detect_mser(img, cfg.mser)
+        v = np.asarray(kp.valid)
+        oxy, os_ = np.asarray(kp.xy)[v], np.asarray(kp.s)[v]
+        rxy, rs = z["xy"], z["s"]
+        assert len(oxy) == len(rxy), (name, len(oxy), len(rxy))
+        d = np.linalg.norm(oxy[:, None, :] - rxy[None, :, :], axis=-1)
+        sr = np.abs(np.log((os_[:, None] + 1e-9) / (rs[None, :] + 1e-9)))
+        cost = d + 20.0 * sr
+        nn12 = np.argmin(cost, 1)
+        nn21 = np.argmin(cost, 0)
+        mutual = nn21[nn12] == np.arange(len(oxy))
+        md = d[np.arange(len(oxy)), nn12]
+        ok = mutual & (md < 2.0) & (sr[np.arange(len(oxy)), nn12] < np.log(1.2))
+        frac = ok.mean()
+        assert frac >= 0.97, (name, frac)
+        assert np.median(md[ok]) < 0.1, (name, np.median(md[ok]))
