@@ -107,12 +107,35 @@ def main():
             "deep_vs_baseline": round((1.0 / deep_dt) / (1.0 / 2.52), 2),
             "deep_inliers": r1.inliers,
             "deep_tentatives": r1.unique_tentatives,
+            # reference: 3731/3358 and 4527/4118 (README.md:60-61) —
+            # splits the deep gap into regions vs descriptor quality
+            "deep_regions": [r1.regions1, r1.regions2],
+            "deep_descriptors": [r1.descriptors1, r1.descriptors2],
         }
     except FileNotFoundError as e:
         deep = {"deep_pairs_per_s": None,
                 "deep_error": "HardNet weights missing"}
     except Exception as e:                        # never break the bench
         deep = {"deep_pairs_per_s": None, "deep_error": str(e)[:120]}
+
+    # F-path verification rows (BASELINE.json configs 3-4): DEGENSAC-F
+    # and ORSA on the classic wide-baseline pair.  graf is planar — the
+    # degeneracy-handling path is exactly what gets exercised.
+    fpath = {}
+    try:
+        from mods_tpu.twoview import match_images as _mi
+        ccfg = load_config("/root/reference/build/config_affori_classic.ini",
+                           "/root/reference/build/iters_HessianSIFT.ini")
+        img1g = np.asarray(i1)
+        img2g = np.asarray(i2)
+        for ver, tag in (("LORANSACF", "degensac_f"), ("ORSA", "orsa")):
+            _ = _mi(img1g, img2g, ccfg, ver_type=ver)   # warm-up
+            t0 = time.time()
+            rf = _mi(img1g, img2g, ccfg, ver_type=ver)
+            fpath[f"{tag}_inliers"] = rf.inliers
+            fpath[f"{tag}_ms"] = round((time.time() - t0) * 1000.0, 1)
+    except Exception as e:
+        fpath = {"fpath_error": str(e)[:120]}
 
     print(json.dumps({
         "metric": "pairs_per_s",
@@ -125,6 +148,7 @@ def main():
         "batch": BATCH,
         "detect_desc_ms_per_image": round(extract_ms, 1),
         **deep,
+        **fpath,
     }))
 
 

@@ -60,6 +60,28 @@ def _log10_comb(n, k):
     return (gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)) / LN10
 
 
+def nfa_curve(es: jnp.ndarray, n, logalpha0) -> jnp.ndarray:
+    """Per-position NFA over sorted squared errors [..., M].
+
+    Direct vectorization of the reference scan (orsa.cpp:559-567):
+      NFA(i) = loge0 + logalpha(e_i)*(i-6) + log10 C(n, i+1)
+               + log10 C(i+1, 7),  for i in [7, n),
+    with loge0 = log10(3(n-7)) and
+    logalpha = logalpha0 + 0.5 log10(e_i).  Positions outside [7, n)
+    are +inf.  `n` may be a traced scalar (lgamma combinatorials replace
+    the makelogcombi_* tables, orsa.cpp:143-166)."""
+    M = es.shape[-1]
+    n = jnp.asarray(n, jnp.float32)
+    loge0 = jnp.log10(3.0 * jnp.maximum(n - 7.0, 1.0))
+    idx = jnp.arange(M, dtype=jnp.float32)
+    logcn = _log10_comb(n, idx + 1.0)                 # log10 C(n, i+1)
+    logc7 = _log10_comb(idx + 1.0, 7.0)               # log10 C(i+1, 7)
+    pos_ok = (idx >= 7) & (idx < n)
+    logalpha = logalpha0 + 0.5 * jnp.log10(jnp.maximum(es, 1e-30))
+    nfa = loge0 + logalpha * (idx - 6.0) + logcn + logc7
+    return jnp.where(pos_ok, nfa, jnp.inf)
+
+
 def _sample_fs(xy1n, xy2n, weights, key, batch: int):
     """batch 7-subsets sampled from `weights`-eligible rows -> [3B,3,3]."""
     M = xy1n.shape[0]
@@ -83,12 +105,6 @@ def _orsa_core(xy1, xy2, valid, w, h, key, batch: int):
     xy2n = (xy2 - c) * norm
     logalpha0 = (math.log10(2.0)
                  + 0.5 * jnp.log10((nx * nx + ny * ny) * norm * norm))
-    loge0 = jnp.log10(3.0 * jnp.maximum(n - 7.0, 1.0))
-
-    idx = jnp.arange(M, dtype=jnp.float32)            # sorted position i
-    logcn = _log10_comb(n, idx + 1.0)                 # log10 C(n, i+1)
-    logc7 = _log10_comb(idx + 1.0, 7.0)               # log10 C(i+1, 7)
-    pos_ok = (idx >= 7) & (idx < n)
 
     def eval_models(Fs):
         """[B,3,3] -> per-model (min NFA, threshold err at the minimum)."""
@@ -99,9 +115,7 @@ def _orsa_core(xy1, xy2, valid, w, h, key, batch: int):
         e = jnp.where(bad[:, None], jnp.inf, e)
         e = jnp.where(valid[None, :], e, jnp.inf)
         es = jnp.sort(e, axis=1)                      # [B,M] ascending
-        logalpha = logalpha0 + 0.5 * jnp.log10(jnp.maximum(es, 1e-30))
-        nfa = loge0 + logalpha * (idx - 6.0) + logcn + logc7
-        nfa = jnp.where(pos_ok[None, :], nfa, jnp.inf)
+        nfa = nfa_curve(es, n, logalpha0)
         min_nfa = jnp.min(nfa, axis=1)
         ki = jnp.argmin(nfa, axis=1)
         e_th = jnp.take_along_axis(es, ki[:, None], axis=1)[:, 0]

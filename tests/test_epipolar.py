@@ -101,3 +101,73 @@ def test_orsa_rejects_pure_noise():
     r = orsa_filter(t, pars, W, H)
     # not significant: everything rejected
     assert int(r.n_inliers) == 0, int(r.n_inliers)
+
+
+def test_orsa_nfa_parity_scalar_port():
+    """NFA scoring parity against a direct scalar port of the reference
+    (orsa.cpp:238-263 matcherrorn + 449-469 tables + 559-567 scan)."""
+    import math
+    import jax.numpy as jnp
+    from mods_tpu.verify.orsa import nfa_curve, symm_epi_sum_sq
+
+    rng = np.random.default_rng(3)
+    w, h = 800, 640
+    n = 60
+    xy1 = rng.uniform(0, (w, h), (n, 2)).astype(np.float64)
+    # mostly-planar scene + noise -> nontrivial error profile
+    Hgt = np.array([[0.9, 0.05, 30], [-0.04, 1.1, -10], [1e-4, -5e-5, 1.0]])
+    ph = np.concatenate([xy1, np.ones((n, 1))], 1) @ Hgt.T
+    xy2 = ph[:, :2] / ph[:, 2:3] + rng.normal(0, 2.0, (n, 2))
+    F = rng.normal(0, 1, (3, 3))
+    F = F / np.linalg.norm(F)
+
+    # --- scalar port (the reference math verbatim) ---
+    norm = 1.0 / math.sqrt(w * h)
+    p1 = (xy1 - (0.5 * w, 0.5 * h)) * norm
+    p2 = (xy2 - (0.5 * w, 0.5 * h)) * norm
+    e = []
+    for i in range(n):
+        x1, y1 = p1[i]
+        x2, y2 = p2[i]
+        rxc = F[0, 0] * x2 + F[1, 0] * y2 + F[2, 0]
+        ryc = F[0, 1] * x2 + F[1, 1] * y2 + F[2, 1]
+        rwc = F[0, 2] * x2 + F[1, 2] * y2 + F[2, 2]
+        r = rxc * x1 + ryc * y1 + rwc
+        rx = F[0, 0] * x1 + F[0, 1] * y1 + F[0, 2]
+        ry = F[1, 0] * x1 + F[1, 1] * y1 + F[1, 2]
+        a = rxc * rxc + ryc * ryc
+        b = rx * rx + ry * ry
+        e.append(r * r * (a + b) / (a * b))
+    e.sort()
+
+    def logcombi(k, nn):
+        if k >= nn or k <= 0:
+            return 0.0
+        if nn - k < k:
+            k = nn - k
+        r = 0.0
+        for i in range(1, k + 1):
+            r += math.log10(nn - k + i) - math.log10(i)
+        return r
+
+    loge0 = math.log10(3.0 * (n - 7))
+    logalpha0 = math.log10(2.0) + 0.5 * math.log10(
+        (w * w + h * h) * norm * norm)
+    best = (1e9, -1)
+    for i in range(7, n):
+        logalpha = logalpha0 + 0.5 * math.log10(e[i])
+        nfa = (loge0 + logalpha * (i - 6) + logcombi(i + 1, n)
+               + logcombi(7, i + 1))
+        if nfa < best[0]:
+            best = (nfa, i)
+
+    # --- ours ---
+    e_ours = np.asarray(symm_epi_sum_sq(jnp.asarray(F, jnp.float32),
+                                        jnp.asarray(p1, jnp.float32),
+                                        jnp.asarray(p2, jnp.float32)))
+    np.testing.assert_allclose(np.sort(e_ours), np.asarray(e), rtol=2e-3)
+    curve = np.asarray(nfa_curve(jnp.asarray(np.sort(e_ours))[None, :],
+                                 n, logalpha0))[0]
+    i_ours = int(np.argmin(curve))
+    assert i_ours == best[1], (i_ours, best[1])
+    assert abs(curve[i_ours] - best[0]) < 0.05, (curve[i_ours], best[0])
