@@ -255,25 +255,44 @@ def _pad_pow2(x: np.ndarray) -> np.ndarray:
     return out
 
 
+_DEVICE_PARAM_CACHE: Dict[str, Dict] = {}
+
+
 def _get_params(cfg: Config, which: str):
     import os
     path = {"hardnet": cfg.hardnet.weights or "/root/repo/weights/HardNetPS.npz",
             "affnet": cfg.affnet.weights or "/root/reference/build/AffNet.pth",
             "orinet": cfg.orinet.weights or "/root/reference/build/OriNet.pth"}[which]
+    # device-resident cache: without it every forward re-uploads the
+    # weights through the host->TPU relay (~MBs per call)
+    if path in _DEVICE_PARAM_CACHE:
+        return _DEVICE_PARAM_CACHE[path]
     if path.endswith(".npz") and os.path.exists(path):
-        d = dict(np.load(path))
-        return _layers_from_state(d)
-    if path.endswith(".pth") and os.path.exists(path):
-        return _layers_from_state(load_pth_state(path))
-    if os.environ.get("MODS_TPU_ALLOW_RANDOM_CNN"):
+        layers = _layers_from_state(dict(np.load(path)))
+    elif path.endswith(".pth") and os.path.exists(path):
+        layers = _layers_from_state(load_pth_state(path))
+    elif os.environ.get("MODS_TPU_ALLOW_RANDOM_CNN"):
         # explicit opt-in for tests/smoke runs only
-        return _random_params(which)
-    raise FileNotFoundError(
-        f"{which} weights not found at {path}. Train HardNet with "
-        f"`python tools/train_hardnet.py` (writes weights/HardNetPS.npz) "
-        f"or point cfg.{which}.weights at a checkpoint. Set "
-        f"MODS_TPU_ALLOW_RANDOM_CNN=1 only for plumbing smoke tests — "
-        f"random weights produce noise descriptors.")
+        layers = _random_params(which)
+    else:
+        raise FileNotFoundError(
+            f"{which} weights not found at {path}. Train HardNet with "
+            f"`python tools/train_hardnet.py` (writes weights/HardNetPS.npz) "
+            f"or point cfg.{which}.weights at a checkpoint. Set "
+            f"MODS_TPU_ALLOW_RANDOM_CNN=1 only for plumbing smoke tests — "
+            f"random weights produce noise descriptors.")
+    layers = {i: {k: jnp.asarray(v) for k, v in p.items()}
+              for i, p in layers.items()}
+    _DEVICE_PARAM_CACHE[path] = layers
+    return layers
+
+
+def invalidate_param_cache(path: Optional[str] = None) -> None:
+    """Drop cached device weights (e.g. after retraining in-process)."""
+    if path is None:
+        _DEVICE_PARAM_CACHE.clear()
+    else:
+        _DEVICE_PARAM_CACHE.pop(path, None)
 
 
 _RANDOM_CACHE: Dict[str, Dict] = {}

@@ -394,9 +394,14 @@ def generate_pairs_pipeline(n_pairs: int, seed: int = 0, n_images: int = 96,
                             include_graf=include_graf)
     anchors, positives, ids = [], [], []
     total = 0
+    import time as _time
+    _t0 = _time.time()
     for img_i, img in enumerate(imgs):
         if total >= n_pairs:
             break
+        if img_i and img_i % 8 == 0:
+            print(f"  [pipeline-pairs] image {img_i}/{len(imgs)} "
+                  f"pairs={total} ({_time.time()-_t0:.0f}s)", flush=True)
         base = _photometric_image(rng, img)
         d1, p1, xy1, A1, s1, v1 = _deep_frames(base, cfg, max_kp)
         pat1 = None

@@ -132,13 +132,39 @@ def upright_features(img: jnp.ndarray, kp: Keypoints,
     return Keypoints(kp.xy, kp.A, kp.s, kp.response, kp.valid & ~touch)
 
 
+def _describe_sift_engine(pyr, xy, A, s, valid, par) -> jnp.ndarray:
+    """Device-resident SIFT-family description via the mip patch engine
+    (same slow-path geometry as the reference: per-keypoint
+    patchImageSize = 2*ceil(s*mrSize)+1, k = pis/patchSize; the
+    anti-aliased level blend stands in for the per-patch 1.5k blur).
+    No host round trip (round-3 verdict item 3); the heavy internals
+    (sample_patches, describe_patches) are jitted."""
+    ps = par.PEParam.patchSize
+    from .ops import patch_engine as pe
+    pis = 2.0 * jnp.ceil(s * par.PEParam.mrSize) + 1.0
+    k = pis / ps
+    patches = pe.sample_patches(pyr, xy, A * k[:, None, None], ps,
+                                valid=valid)
+    if par.PEParam.photoNorm:
+        mask = jnp.asarray(imops.circular_gauss_mask(ps))
+        patches = imops.photometric_normalize(patches, mask)
+    desc = siftmod.describe_patches(patches, par)
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
 def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
-                         par: SIFTDescriptorParams) -> np.ndarray:
+                         par: SIFTDescriptorParams,
+                         pyr: Optional[jnp.ndarray] = None,
+                         use_engine: bool = False) -> np.ndarray:
     """Patch extraction + SIFT/RootSIFT/HalfSIFT description.
 
     reference: DescribeRegions<SIFTDescriptor> (synth-detection.hpp:170-263).
-    Returns [N, D] float32 (quantized 0..255 values), rows for invalid
-    keypoints are zero."""
+    Returns [N, D] (quantized 0..255 values), rows for invalid
+    keypoints are zero.  With use_engine (cfg.patch_source), the whole
+    stage runs on device through the mip pyramid; otherwise the
+    reference-exact host bucketed two-stage extractor is used."""
+    if use_engine and pyr is not None:
+        return _describe_sift_engine(pyr, kp.xy, kp.A, kp.s, kp.valid, par)
     valid = np.asarray(kp.valid)
     xy = np.asarray(kp.xy)[valid]
     A = np.asarray(kp.A)[valid]
@@ -263,7 +289,11 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
         if desc_name in ("RootSIFT", "SIFT", "HalfRootSIFT", "HalfSIFT"):
             par = {"RootSIFT": cfg.rootsift, "SIFT": cfg.sift,
                    "HalfRootSIFT": cfg.halfrootsift, "HalfSIFT": cfg.halfsift}[desc_name]
-            desc = describe_sift_family(img_view, kp_desc, par)
+            from .desc.cnn import _use_engine
+            eng = _use_engine(cfg)
+            desc = describe_sift_family(img_view, kp_desc, par,
+                                        pyr=_pyr() if eng else None,
+                                        use_engine=eng)
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
             from .desc.cnn import hardnet_describe, _use_engine
             desc = hardnet_describe(img_view, kp_desc, cfg,
