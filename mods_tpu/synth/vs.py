@@ -79,19 +79,37 @@ class SynthView:
     id: int = 0
 
 
-def generate_synth_view(img: jnp.ndarray, tilt: float, phi: float, zoom: float,
-                        init_sigma: float, do_blur: bool, img_id: int) -> SynthView:
-    """Affine-warp simulator (GenerateSynthImageCorr,
-    synth-detection.cpp:324-518): rotate by phi (border 128), anisotropic
-    anti-alias blur sigma = InitSigma*tilt/(2*zoom) along the tilt axis,
-    then 1/tilt (and zoom) directional scaling; exact H composition."""
+@dataclass
+class ViewGeometry:
+    """Host-side warp plan of one synthesized view (all static shapes).
+    identity=True short-circuits to the input image."""
+    identity: bool
+    w_new: int = 0
+    h_new: int = 0
+    H3: np.ndarray = None            # 3x3 original -> synth
+    Mrot: np.ndarray = None          # 2x3 rotation warp
+    w_rot: int = 0
+    h_rot: int = 0
+    Mtz: np.ndarray = None           # 2x3 tilt/zoom warp
+    sigma_x: float = 0.0
+    sigma_y: float = 0.0
+    do_blur: bool = False
+    tilt: float = 1.0
+    phi_deg: float = 0.0
+    zoom: float = 1.0
+
+
+def synth_view_geometry(w: int, h: int, tilt: float, phi: float, zoom: float,
+                        init_sigma: float, do_blur: bool) -> ViewGeometry:
+    """The pure-host shape/matrix math of GenerateSynthImageCorr
+    (synth-detection.cpp:324-518), separated so callers (per-view warp
+    AND the batched atlas builder) can plan static shapes up front."""
     vertical = tilt < 0
     tilt = abs(tilt)
-    h, w = int(img.shape[0]), int(img.shape[1])
     zoomed = abs(zoom - 1.0) >= 0.05
 
     if (abs(tilt - 1.0) <= 0.1) and (abs(phi) <= 0.2) and (abs(zoom - 1.0) <= 0.1):
-        return SynthView(pixels=img, H=np.eye(3), tilt=1.0, phi=0.0, zoom=1.0, id=0)
+        return ViewGeometry(identity=True, w_new=w, h_new=h, H3=np.eye(3))
 
     kV = kH = 1.0
     if zoomed:
@@ -146,18 +164,40 @@ def generate_synth_view(img: jnp.ndarray, tilt: float, phi: float, zoom: float,
         h_rot = int(math.floor(0.5 + sphi * w - cphi * h))
         Mrot = np.array([[cphi, sphi, -math.floor(cphi * w)],
                          [-sphi, cphi, math.floor(0.5 + (sphi * w - cphi * h))]])
-    rotated = imops.warp_affine(img, Mrot, h_rot, w_rot, fill=128.0)
-
-    if do_blur:
-        rotated = imops.gaussian_blur_xy(rotated, sigma_x, sigma_y)
-
     if vertical:
         Mtz = np.array([[1.0 / kH, 0.0, 0.0], [0.0, 1.0 / (tilt * kV), 0.0]])
     else:
         Mtz = np.array([[1.0 / (tilt * kH), 0.0, 0.0], [0.0, 1.0 / kV, 0.0]])
-    out = imops.warp_affine(rotated, Mtz, int(h_new), int(w_new), fill=128.0)
-    return SynthView(pixels=out, H=H3, tilt=tilt, phi=math.degrees(phi),
-                     zoom=zoom, id=img_id)
+    return ViewGeometry(identity=False, w_new=int(w_new), h_new=int(h_new),
+                        H3=H3, Mrot=Mrot, w_rot=w_rot, h_rot=h_rot, Mtz=Mtz,
+                        sigma_x=sigma_x, sigma_y=sigma_y, do_blur=do_blur,
+                        tilt=tilt, phi_deg=math.degrees(phi), zoom=zoom)
+
+
+def warp_view(img: jnp.ndarray, g: ViewGeometry) -> jnp.ndarray:
+    """Run the two-stage warp of a planned view (traceable)."""
+    if g.identity:
+        return img
+    rotated = imops.warp_affine(img, g.Mrot, g.h_rot, g.w_rot, fill=128.0)
+    if g.do_blur:
+        rotated = imops.gaussian_blur_xy(rotated, g.sigma_x, g.sigma_y)
+    return imops.warp_affine(rotated, g.Mtz, g.h_new, g.w_new, fill=128.0)
+
+
+def generate_synth_view(img: jnp.ndarray, tilt: float, phi: float, zoom: float,
+                        init_sigma: float, do_blur: bool, img_id: int) -> SynthView:
+    """Affine-warp simulator (GenerateSynthImageCorr,
+    synth-detection.cpp:324-518): rotate by phi (border 128), anisotropic
+    anti-alias blur sigma = InitSigma*tilt/(2*zoom) along the tilt axis,
+    then 1/tilt (and zoom) directional scaling; exact H composition."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    g = synth_view_geometry(w, h, tilt, phi, zoom, init_sigma, do_blur)
+    if g.identity:
+        return SynthView(pixels=img, H=np.eye(3), tilt=1.0, phi=0.0,
+                         zoom=1.0, id=0)
+    out = warp_view(img, g)
+    return SynthView(pixels=out, H=g.H3, tilt=g.tilt, phi=g.phi_deg,
+                     zoom=g.zoom, id=img_id)
 
 
 def generate_synth_view_by_h(img: jnp.ndarray, H: np.ndarray,

@@ -90,6 +90,18 @@ def _extract_image(img: np.ndarray, cfg: Config, step, prev_views: Dict,
             sched["scale_set"], sched["tilt_set"], sched["phi"],
             sched["descriptors"], sched["fginn"], sched["dist"],
             sched["init_sigma"], sched["do_blur"], prev)
+
+        # batched multi-view path: all of this step's views through one
+        # atlas (synth/atlas.py; reference OMP views loop,
+        # imagerepresentation.cpp:692-705)
+        from .synth.atlas import atlas_eligible, extract_step_atlas
+        if atlas_eligible(cfg, det_name, views):
+            regions, by_desc = extract_step_atlas(
+                dimg, cfg, det_name, views, W_img, H_img, timelog=tl)
+            rep.add(det_name, ViewFeatures(regions=regions,
+                                           by_desc=by_desc))
+            continue
+
         for i, vp in enumerate(views):
             t0 = time.time()
             sv = generate_synth_view(dimg, vp.tilt, vp.phi, vp.zoom,
