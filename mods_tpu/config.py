@@ -329,6 +329,10 @@ class Config:
     # (bounds the CPU-vs-TPU numeric divergence explicitly — see
     # tests/test_patch_engine.py::test_engine_vs_reference_tolerance)
     patch_source: str = "auto"
+    # Pallas resample matmul precision on TPU: DEFAULT = 1 bf16 MXU
+    # pass, HIGHEST = 6 passes (tests/test_tpu_precision.py bounds the
+    # difference end to end)
+    patch_precision: str = "DEFAULT"
     # padding caps for fixed-shape device code
     max_keypoints: int = 8192        # per (detector, view)
     max_octave_cands: int = 8192     # candidate extrema per octave

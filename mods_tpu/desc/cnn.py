@@ -192,9 +192,10 @@ def orinet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-@partial(jax.jit, static_argnames=("patch_size",))
+@partial(jax.jit, static_argnames=("patch_size", "precision"))
 def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
-                     patch_size: int) -> jnp.ndarray:
+                     patch_size: int,
+                     precision: str = "DEFAULT") -> jnp.ndarray:
     """On-device CNN patch sampling via the mip patch engine.
 
     Same geometry as the reference slow path (ExtractPatchesColumn,
@@ -208,7 +209,8 @@ def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
     pis = 2.0 * jnp.ceil(s * mr_size) + 1.0
     k = pis / patch_size
     step = A * k[:, None, None]
-    p = pe.sample_patches(pyr, xy, step, patch_size, valid=valid)
+    p = pe.sample_patches(pyr, xy, step, patch_size, valid=valid,
+                          precision=precision)
     return jnp.clip(jnp.round(p), 0.0, 255.0)
 
 
@@ -333,7 +335,8 @@ def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         if pyr is None:
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
-                                cfg.hardnet.mrSize, cfg.hardnet.patchSize)
+                                cfg.hardnet.mrSize, cfg.hardnet.patchSize,
+                                precision=cfg.patch_precision)
         d = np.asarray(hardnet_forward(pall, params))
         return np.where(np.asarray(kp.valid)[:, None], d, 0.0).astype(np.float32)
     p, valid = _cnn_patches(img, kp, cfg.hardnet.mrSize, cfg.hardnet.patchSize)
@@ -354,7 +357,8 @@ def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         if pyr is None:
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
-                                cfg.affnet.mrSize, cfg.affnet.patchSize)
+                                cfg.affnet.mrSize, cfg.affnet.patchSize,
+                                precision=cfg.patch_precision)
         abc_all = np.asarray(affnet_forward(pall, params))
         valid = np.asarray(kp.valid)
         abc = abc_all[valid]
@@ -390,7 +394,8 @@ def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         if pyr is None:
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
-                                cfg.orinet.mrSize, cfg.orinet.patchSize)
+                                cfg.orinet.mrSize, cfg.orinet.patchSize,
+                                precision=cfg.patch_precision)
         yx_all = np.asarray(orinet_forward(pall, params))
         valid = np.asarray(kp.valid)
         yx = yx_all[valid]

@@ -101,11 +101,12 @@ def build_mip_pyramid(img: jnp.ndarray, n_levels: int = 11) -> jnp.ndarray:
     return jnp.stack(levels)
 
 
-@partial(jax.jit, static_argnames=("out_size", "mode"))
+@partial(jax.jit, static_argnames=("out_size", "mode", "precision"))
 def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                    out_size: int, mode: str = "antialias",
                    sigma_target: jnp.ndarray = None,
-                   valid: jnp.ndarray = None) -> jnp.ndarray:
+                   valid: jnp.ndarray = None,
+                   precision: str = "DEFAULT") -> jnp.ndarray:
     """Affine patches from a mip pyramid (auto level selection).
 
     patch[n,p,q] = img(xy[n] + A[n] @ (q-c, p-c)), A in image pixels,
@@ -198,9 +199,11 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                 # Mosaic supports DEFAULT (1 bf16 MXU pass) or HIGHEST
                 # (6 passes) only; DEFAULT's ~0.2% sample error washes out
                 # in the gradient histograms all consumers compute.
-                return pp.dma_hat_resample(pyr, lv, oyd, oxd, params,
-                                           out_size,
-                                           precision=jax.lax.Precision.DEFAULT)
+                # Config.patch_precision flips this to HIGHEST (covered
+                # by tests/test_tpu_precision.py on the TPU backend).
+                return pp.dma_hat_resample(
+                    pyr, lv, oyd, oxd, params, out_size,
+                    precision=getattr(jax.lax.Precision, precision))
 
             def crop(l, y0, x0):
                 return jax.lax.dynamic_slice(pyr, (l, y0, x0), (1, win, win))[0]
@@ -215,8 +218,9 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                     A[:, 1, 0] / scale_l, A[:, 1, 1] / scale_l,
                     ox.astype(jnp.float32), oy.astype(jnp.float32),
                     lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
-                return pp.hat_resample(wins, params, out_size,
-                                       precision=jax.lax.Precision.DEFAULT)
+                return pp.hat_resample(
+                    wins, params, out_size,
+                    precision=getattr(jax.lax.Precision, precision))
             ii = jnp.arange(out_size, dtype=jnp.float32) - c
             jg, ig = jnp.meshgrid(ii, ii, indexing="ij")
             sx = scale_l[:, None, None]

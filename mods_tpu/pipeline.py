@@ -132,7 +132,8 @@ def upright_features(img: jnp.ndarray, kp: Keypoints,
     return Keypoints(kp.xy, kp.A, kp.s, kp.response, kp.valid & ~touch)
 
 
-def _describe_sift_engine(pyr, xy, A, s, valid, par) -> jnp.ndarray:
+def _describe_sift_engine(pyr, xy, A, s, valid, par,
+                          precision: str = "DEFAULT") -> jnp.ndarray:
     """Device-resident SIFT-family description via the mip patch engine
     (same slow-path geometry as the reference: per-keypoint
     patchImageSize = 2*ceil(s*mrSize)+1, k = pis/patchSize; the
@@ -144,7 +145,7 @@ def _describe_sift_engine(pyr, xy, A, s, valid, par) -> jnp.ndarray:
     pis = 2.0 * jnp.ceil(s * par.PEParam.mrSize) + 1.0
     k = pis / ps
     patches = pe.sample_patches(pyr, xy, A * k[:, None, None], ps,
-                                valid=valid)
+                                valid=valid, precision=precision)
     if par.PEParam.photoNorm:
         mask = jnp.asarray(imops.circular_gauss_mask(ps))
         patches = imops.photometric_normalize(patches, mask)
@@ -155,7 +156,8 @@ def _describe_sift_engine(pyr, xy, A, s, valid, par) -> jnp.ndarray:
 def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
                          par: SIFTDescriptorParams,
                          pyr: Optional[jnp.ndarray] = None,
-                         use_engine: bool = False) -> np.ndarray:
+                         use_engine: bool = False,
+                         precision: str = "DEFAULT") -> np.ndarray:
     """Patch extraction + SIFT/RootSIFT/HalfSIFT description.
 
     reference: DescribeRegions<SIFTDescriptor> (synth-detection.hpp:170-263).
@@ -164,7 +166,8 @@ def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
     stage runs on device through the mip pyramid; otherwise the
     reference-exact host bucketed two-stage extractor is used."""
     if use_engine and pyr is not None:
-        return _describe_sift_engine(pyr, kp.xy, kp.A, kp.s, kp.valid, par)
+        return _describe_sift_engine(pyr, kp.xy, kp.A, kp.s, kp.valid, par,
+                                     precision=precision)
     valid = np.asarray(kp.valid)
     xy = np.asarray(kp.xy)[valid]
     A = np.asarray(kp.A)[valid]
@@ -293,7 +296,8 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
             eng = _use_engine(cfg)
             desc = describe_sift_family(img_view, kp_desc, par,
                                         pyr=_pyr() if eng else None,
-                                        use_engine=eng)
+                                        use_engine=eng,
+                                        precision=cfg.patch_precision)
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
             from .desc.cnn import hardnet_describe, _use_engine
             desc = hardnet_describe(img_view, kp_desc, cfg,
