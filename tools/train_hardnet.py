@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--data-cache-dir", default="/tmp")
     ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--resume", default="",
+                    help="npz checkpoint to continue from")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -117,6 +119,17 @@ def main():
 
     key = jax.random.PRNGKey(42)
     params = T.init_hardnet_params(key)
+    if args.resume:
+        from mods_tpu.desc.cnn import _layers_from_state
+        sd = dict(np.load(args.resume))
+        layers = _layers_from_state(sd)
+        for idx, p in layers.items():
+            if "weight" in p:
+                params[f"w{idx}"] = jnp.asarray(p["weight"])
+            if "running_mean" in p:
+                params[f"bn{idx}_mean"] = jnp.asarray(p["running_mean"])
+                params[f"bn{idx}_var"] = jnp.asarray(p["running_var"])
+        print(f"resumed from {args.resume}", flush=True)
     sched = optax.cosine_decay_schedule(args.lr, args.steps)
     optimizer = optax.adam(sched)
     opt_state = optimizer.init(params)
