@@ -272,20 +272,41 @@ def generate_pairs(n_pairs: int, seed: int = 0, n_images: int = 24,
 # Pipeline-correspondence pairs (homography self-supervision)
 # --------------------------------------------------------------------------- #
 def _random_homography(rng: np.random.Generator, size: int) -> np.ndarray:
-    """Graf-like viewpoint change: random 4-corner perturbation (up to
-    ~28% of the image span) + global rotation.  Covers perspective tilt,
-    anisotropy, scale and rotation jointly."""
+    """Graf-like viewpoint change.  Two regimes:
+      - 4-corner perspective perturbation (moderate viewpoint change)
+      - MODS-style affine tilt t in [1.5, 6] along a random axis — the
+        exact foreshortening regime the deep pipeline's AffNet must
+        normalize on wide-baseline pairs (graf1->graf6 is tilt ~4-6)
+    plus a global rotation in both."""
     import cv2
-    m = 0.28 * size
-    src = np.float32([[0, 0], [size, 0], [size, size], [0, size]])
-    dst = src + rng.uniform(-m, m, (4, 2)).astype(np.float32)
-    H = cv2.getPerspectiveTransform(src, dst)
+    ctr = size / 2.0
     th = rng.uniform(-math.pi, math.pi)
     c, s = math.cos(th), math.sin(th)
-    ctr = size / 2.0
     R = np.array([[c, -s, ctr - c * ctr + s * ctr],
                   [s, c, ctr - s * ctr - c * ctr],
                   [0, 0, 1]], np.float64)
+    if rng.random() < 0.5:
+        m = 0.30 * size
+        src = np.float32([[0, 0], [size, 0], [size, size], [0, size]])
+        dst = src + rng.uniform(-m, m, (4, 2)).astype(np.float32)
+        H = cv2.getPerspectiveTransform(src, dst)
+    else:
+        t = math.exp(rng.uniform(math.log(1.5), math.log(6.0)))
+        psi = rng.uniform(0, math.pi)
+        cp, sp = math.cos(psi), math.sin(psi)
+        sc = math.exp(rng.uniform(-0.35, 0.25))
+        Rp = np.array([[cp, -sp, 0], [sp, cp, 0], [0, 0, 1]])
+        D = np.diag([sc / t, sc, 1.0])
+        A = Rp.T @ D @ Rp
+        # recenter so the warped content stays near the canvas
+        Hc = np.eye(3)
+        Hc[:2, 2] = -ctr
+        Hu = np.eye(3)
+        Hu[:2, 2] = ctr
+        H = Hu @ A @ Hc
+        # small projective component on top
+        H[2, 0] = rng.uniform(-0.3, 0.3) / size
+        H[2, 1] = rng.uniform(-0.3, 0.3) / size
     return (R @ H).astype(np.float64)
 
 

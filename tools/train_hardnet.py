@@ -173,6 +173,10 @@ def main():
                 best_fpr = float(fpr)
                 T.save_hardnet_npz(params, args.out + ".best")
             T.save_hardnet_npz(params, args.out + ".last")
+            if i and i % 2000 == 0:
+                # step-tagged checkpoints: graf-pair model selection
+                # happens AFTER training (tools/eval_deep.py)
+                T.save_hardnet_npz(params, args.out + f".s{i}")
 
     T.save_hardnet_npz(params, args.out)
     print(f"saved {args.out} (best fpr95 {best_fpr:.4f})", flush=True)
