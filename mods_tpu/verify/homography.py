@@ -419,3 +419,86 @@ def hmatrix_filter(t: Tentatives, H_gt: np.ndarray, pars: RANSACPars) -> Tentati
     ok = t.valid & (err <= pars.err_threshold ** 2)
     return Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
                       t.ratio, ok)
+
+
+# --------------------------------------------------------------------------- #
+# RANSAC-H from two ellipse (affine-frame) correspondences
+# --------------------------------------------------------------------------- #
+def _affine_rows(xy1, xy2, M) -> jnp.ndarray:
+    """4 linear constraints per affine correspondence: the Jacobian of H
+    at x1 equals the relative affine M up to the projective denominator,
+      H[i,j] - x2_i*H[2,j] - M[i,j]*(h3 . x1~) = 0  (i,j in {0,1}).
+    Returns [..., 4, 9] rows in h-vector order (row-major H).
+
+    Linear-algebraically equivalent to the reference's 15-unknown
+    A2toRH elimination (ranH2el.c:233-280) for exact data; this is the
+    standard 2-AC homography linearization."""
+    x, y = xy1[..., 0], xy1[..., 1]
+    u, v = xy2[..., 0], xy2[..., 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    m00, m01 = M[..., 0, 0], M[..., 0, 1]
+    m10, m11 = M[..., 1, 0], M[..., 1, 1]
+    r00 = jnp.stack([o, z, z, z, z, z, -u - m00 * x, -m00 * y, -m00], -1)
+    r01 = jnp.stack([z, o, z, z, z, z, -m01 * x, -u - m01 * y, -m01], -1)
+    r10 = jnp.stack([z, z, z, o, z, z, -v - m10 * x, -m10 * y, -m10], -1)
+    r11 = jnp.stack([z, z, z, z, o, z, -m11 * x, -v - m11 * y, -m11], -1)
+    return jnp.stack([r00, r01, r10, r11], -2)
+
+
+@partial(jax.jit, static_argnames=("batch", "lo_batch", "error_type"))
+def _ransac_h2el_core(xy1, xy2, M_rel, valid, th: jnp.ndarray, key,
+                      batch: int, lo_batch: int, error_type: str):
+    """Minimal 2-AC hypothesis sweep, then the shared LO machinery."""
+    T1, T2, xy1n, xy2n, th_n = _normalize_pair(xy1, xy2, valid, th)
+    # the similarity normalizations rescale the local affines uniformly
+    Mn = M_rel * (T2[0, 0] / T1[0, 0])
+
+    k1, k2 = jax.random.split(key)
+    Mcount = xy1.shape[0]
+    u = jax.random.uniform(k1, (batch, Mcount))
+    u = jnp.where(valid[None, :], u, -1.0)
+    _, sidx = jax.lax.approx_max_k(u, 2)              # [B,2]
+    p = xy1n[sidx]
+    q = xy2n[sidx]
+    m = Mn[sidx]
+    rows_pt = dlt_rows(p, q).reshape(batch, 4, 9)
+    rows_af = _affine_rows(p, q, m).reshape(batch, 8, 9)
+    A = jnp.concatenate([rows_pt, rows_af], axis=1)   # [B,12,9]
+    Hb = h_from_rows(A)
+    ok = _oriented_ok(p, q, Hb) & jnp.all(jnp.isfinite(Hb), axis=(1, 2))
+    db = jax.vmap(lambda H: sampson_h_sq(H, xy1n, xy2n))(Hb)
+    Ib, Jb = msac_score(db, valid[None, :], th_n)
+    Jb = jnp.where(ok, Jb, -1.0)
+    best = jnp.argmax(Jb)
+    # hand the best 2-AC model to the point-based LO core as H_init
+    return _ransac_h_core(xy1, xy2, valid, th, k2, batch=8,
+                          lo_batch=lo_batch, error_type=error_type,
+                          H_init=Hb[best], J_init=Jb[best])
+
+
+def ransac_h_2el(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
+    """RANSAC-H from TWO ellipse/affine-frame correspondences — the
+    equivalent of degensac/ranH2el.c ransacH2el (built but not wired
+    into the reference's main path; exposed as a library verifier here
+    too).  Each tentative's LAF pair supplies the local affine
+    M = (s2 A2)(s1 A1)^-1, so a minimal sample is 2 correspondences."""
+    if key is None:
+        key = jax.random.PRNGKey(pars.seed)
+    A1f = t.A1 * t.s1[:, None, None]
+    A2f = t.A2 * t.s2[:, None, None]
+    det = (A1f[:, 0, 0] * A1f[:, 1, 1] - A1f[:, 0, 1] * A1f[:, 1, 0])
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv1 = (jnp.stack([
+        jnp.stack([A1f[:, 1, 1], -A1f[:, 0, 1]], -1),
+        jnp.stack([-A1f[:, 1, 0], A1f[:, 0, 0]], -1)], -2)
+        / det[:, None, None])
+    M_rel = jnp.einsum("nij,njk->nik", A2f, inv1)
+    th = jnp.float32(pars.err_threshold ** 2)
+    H, inl, I, J = _ransac_h2el_core(t.xy1, t.xy2, M_rel, t.valid, th, key,
+                                     pars.batch_hypotheses, pars.lo_batch,
+                                     pars.errorType)
+    t_out = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
+                       t.ratio, inl)
+    return MatchResult(tentatives=t_out, H=H, n_inliers=t_out.count(),
+                       score=J)

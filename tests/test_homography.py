@@ -79,3 +79,60 @@ def test_hmatrix_filter_gt():
     out = hmatrix_filter(t, H_TRUE, pars)
     n = int(out.count())
     assert 45 <= n <= 55
+
+
+def test_ransac_h_2el_synthetic():
+    """ranH2el equivalent (degensac/ranH2el.c): H from 2 affine
+    correspondences; LAF-consistent inliers + noise outliers."""
+    import jax
+    import jax.numpy as jnp
+    from mods_tpu.config import RANSACPars
+    from mods_tpu.types import Tentatives
+    from mods_tpu.verify.homography import apply_h, ransac_h_2el
+
+    rng = np.random.default_rng(11)
+    Hgt = np.array([[0.95, 0.08, 20.0], [-0.06, 1.05, -12.0],
+                    [8e-5, -6e-5, 1.0]])
+    n_in, n_out = 60, 30
+    xy1 = rng.uniform(30, 450, (n_in + n_out, 2)).astype(np.float32)
+    ph = np.concatenate([xy1, np.ones((n_in + n_out, 1))], 1) @ Hgt.T
+    xy2 = (ph[:, :2] / ph[:, 2:3]).astype(np.float32)
+    xy2[n_in:] = rng.uniform(30, 450, (n_out, 2))   # outliers
+    xy2[:n_in] += rng.normal(0, 0.3, (n_in, 2))     # inlier noise
+
+    # LAFs: A1 random well-conditioned; A2 = J_H(x1) A1 for inliers
+    th = rng.uniform(0, np.pi, n_in + n_out)
+    A1 = np.zeros((n_in + n_out, 2, 2), np.float32)
+    A1[:, 0, 0] = np.cos(th)
+    A1[:, 0, 1] = -np.sin(th)
+    A1[:, 1, 0] = np.sin(th)
+    A1[:, 1, 1] = np.cos(th)
+    w = Hgt[2, 0] * xy1[:, 0] + Hgt[2, 1] * xy1[:, 1] + Hgt[2, 2]
+    J = np.zeros((n_in + n_out, 2, 2))
+    for i in range(n_in + n_out):
+        u, v = xy2[i]
+        J[i, 0, 0] = (Hgt[0, 0] - u * Hgt[2, 0]) / w[i]
+        J[i, 0, 1] = (Hgt[0, 1] - u * Hgt[2, 1]) / w[i]
+        J[i, 1, 0] = (Hgt[1, 0] - v * Hgt[2, 0]) / w[i]
+        J[i, 1, 1] = (Hgt[1, 1] - v * Hgt[2, 1]) / w[i]
+    A2 = np.einsum("nij,njk->nik", J, A1).astype(np.float32)
+    A2[n_in:] = A1[n_in:]                           # junk affines
+
+    n = n_in + n_out
+    t = Tentatives(
+        xy1=jnp.asarray(xy1), xy2=jnp.asarray(xy2),
+        A1=jnp.asarray(A1), A2=jnp.asarray(A2),
+        s1=jnp.ones(n), s2=jnp.ones(n),
+        d1=jnp.zeros(n), d2=jnp.zeros(n), ratio=jnp.zeros(n),
+        valid=jnp.ones(n, bool))
+    pars = RANSACPars()
+    res = ransac_h_2el(t, pars)
+    ninl = int(res.n_inliers)
+    assert ninl >= 0.85 * n_in, ninl
+    # recovered H maps inlier points correctly
+    H = np.asarray(res.H)
+    H = H / H[2, 2]
+    pred = np.asarray(apply_h(jnp.asarray(H, jnp.float32),
+                              jnp.asarray(xy1[:n_in])))
+    err = np.linalg.norm(pred - xy2[:n_in], axis=1)
+    assert np.median(err) < 1.5, np.median(err)
