@@ -42,19 +42,49 @@ def distance_matrix_sq(a: jnp.ndarray, b: jnp.ndarray,
     return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
 
 
-@partial(jax.jit, static_argnames=("nn", "int_exact"))
-def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
-                nn: int, int_exact: bool = False):
-    """Returns per-query (accept, idx0, d1, d2) under FGINN semantics."""
+@partial(jax.jit, static_argnames=("k", "block", "int_exact"))
+def knn_streaming(desc1, desc2, valid2, k: int, block: int,
+                  int_exact: bool = False):
+    """Blockwise-streaming exact kNN: the [N, M] distance matrix is
+    never materialized — DB blocks of `block` columns are scored and
+    merged into a running top-k (flash-attention-style streaming
+    reduction, SURVEY §5 long-context analog).  Use when M x N exceeds
+    HBM; bitwise-equivalent to the dense path up to top-k ties.
+    Returns (dists [N,k], idx [N,k])."""
+    N, D = desc1.shape
+    M = desc2.shape[0]
     big = jnp.float32(1e12)
-    d = distance_matrix_sq(desc1, desc2, int_exact)
-    d = jnp.where(valid2[None, :], d, big)
-    k = min(nn, desc2.shape[0])
-    # TPU-native PartialReduce top-k (jax.lax.approx_min_k): orders of
-    # magnitude faster than the full-sort fallback of lax.top_k on
-    # [8k, 8k]; recall 0.999 mirrors FLANN's (approximate) kd-tree
-    # semantics while staying nearly exact.
-    dists, idx = jax.lax.approx_min_k(d, k, recall_target=0.999)
+    nb = -(-M // block)
+    pad = nb * block - M
+    b = jnp.concatenate([desc2, jnp.zeros((pad, D), desc2.dtype)])
+    v = jnp.concatenate([valid2, jnp.zeros((pad,), bool)])
+    b = b.reshape(nb, block, D)
+    v = v.reshape(nb, block)
+    offs = jnp.arange(nb, dtype=jnp.int32) * block
+
+    def step(carry, blk):
+        bd, bi = carry
+        bch, vch, off = blk
+        d = distance_matrix_sq(desc1, bch, int_exact)
+        d = jnp.where(vch[None, :], d, big)
+        kk = min(k, block)
+        dists, idx = jax.lax.top_k(-d, kk)
+        cand_d = jnp.concatenate([bd, -dists], axis=1)
+        cand_i = jnp.concatenate([bi, idx + off], axis=1)
+        md, mpos = jax.lax.top_k(-cand_d, k)
+        mi = jnp.take_along_axis(cand_i, mpos, axis=1)
+        return (-md, mi), None
+
+    init = (jnp.full((N, k), big), jnp.zeros((N, k), jnp.int32))
+    (bd, bi), _ = jax.lax.scan(step, init, (b, v, offs))
+    return bd, bi
+
+
+def _fginn_from_knn(dists, idx, valid1, valid2, xy2r, ratio_th,
+                    contrad_dist):
+    """FGINN accept/break walk over precomputed per-query neighbor lists
+    (matching.cpp:434-456 semantics)."""
+    k = dists.shape[1]
     d0 = dists[:, 0]
     i0 = idx[:, 0]
     # spatial distance of each neighbor j to neighbor 0 (reprojected frame)
@@ -79,6 +109,23 @@ def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
     return accept, i0, d0, d2
 
 
+@partial(jax.jit, static_argnames=("nn", "int_exact"))
+def _fginn_core(desc1, valid1, desc2, valid2, xy2r, ratio_th, contrad_dist,
+                nn: int, int_exact: bool = False):
+    """Returns per-query (accept, idx0, d1, d2) under FGINN semantics."""
+    big = jnp.float32(1e12)
+    d = distance_matrix_sq(desc1, desc2, int_exact)
+    d = jnp.where(valid2[None, :], d, big)
+    k = min(nn, desc2.shape[0])
+    # TPU-native PartialReduce top-k (jax.lax.approx_min_k): orders of
+    # magnitude faster than the full-sort fallback of lax.top_k on
+    # [8k, 8k]; recall 0.999 mirrors FLANN's (approximate) kd-tree
+    # semantics while staying nearly exact.
+    dists, idx = jax.lax.approx_min_k(d, k, recall_target=0.999)
+    return _fginn_from_knn(dists, idx, valid1, valid2, xy2r, ratio_th,
+                           contrad_dist)
+
+
 def match_fginn(f1: Features, f2: Features, par: MatchPars,
                 ratio_th: float, int_exact: bool = False) -> Tentatives:
     """Tentative correspondences list1 -> list2 (queries are image 1).
@@ -99,6 +146,25 @@ def match_fginn(f1: Features, f2: Features, par: MatchPars,
         ratio=jnp.sqrt(jnp.maximum(d1, 0.0) / jnp.maximum(d2, 1e-30)),
         valid=accept,
     )
+
+
+def match_fginn_streaming(f1: Features, f2: Features, par: MatchPars,
+                          ratio_th: float, block: int = 8192,
+                          int_exact: bool = False) -> Tentatives:
+    """match_fginn over a DB too large to materialize [N, M]: streaming
+    blockwise kNN + the same FGINN walk."""
+    dists, idx = knn_streaming(f1.desc, f2.desc, f2.valid, par.knn, block,
+                               int_exact)
+    accept, i0, d1, d2 = _fginn_from_knn(
+        dists, idx, f1.valid, f2.valid, f2.reproj.xy,
+        jnp.float32(ratio_th), jnp.float32(par.contradDist))
+    r = f2.reproj
+    q = f1.reproj
+    return Tentatives(
+        xy1=q.xy, xy2=r.xy[i0], A1=q.A, A2=r.A[i0],
+        s1=q.s, s2=r.s[i0], d1=d1, d2=d2,
+        ratio=jnp.sqrt(jnp.maximum(d1, 0.0) / jnp.maximum(d2, 1e-30)),
+        valid=accept)
 
 
 def match_distance_threshold(f1: Features, f2: Features, par: MatchPars,

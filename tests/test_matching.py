@@ -87,3 +87,54 @@ def test_duplicate_filter_keeps_best_ratio():
     assert int(out.count()) == 2   # the three near-duplicates collapse to 1
     kept_ratios = sorted(np.asarray(out.ratio)[np.asarray(out.valid)].tolist())
     assert kept_ratios == pytest.approx([0.3, 0.9])
+
+
+def test_streaming_knn_matches_dense():
+    """Blockwise-streaming kNN == dense kNN (exact distances, same
+    neighbors up to ties)."""
+    import jax.numpy as jnp
+    from mods_tpu.match.matching import distance_matrix_sq, knn_streaming
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.integers(0, 255, (64, 128)).astype(np.float32))
+    b = jnp.asarray(rng.integers(0, 255, (500, 128)).astype(np.float32))
+    v2 = jnp.asarray(rng.random(500) > 0.1)
+    k = 8
+    d = np.array(distance_matrix_sq(a, b))
+    d[:, ~np.asarray(v2)] = 1e12
+    ref = np.sort(d, axis=1)[:, :k]
+    sd, si = knn_streaming(a, b, v2, k, block=128)
+    np.testing.assert_allclose(np.sort(np.asarray(sd), axis=1), ref,
+                               rtol=1e-5)
+    # indices actually produce those distances
+    picked = np.take_along_axis(d, np.asarray(si), axis=1)
+    np.testing.assert_allclose(np.sort(picked, 1),
+                               np.sort(np.asarray(sd), 1), rtol=1e-5)
+
+
+def test_match_fginn_streaming_equals_dense(rng):
+    import jax.numpy as jnp
+    from mods_tpu.config import MatchPars
+    from mods_tpu.match.matching import match_fginn, match_fginn_streaming
+    from mods_tpu.types import Features, Keypoints
+
+    def feats(n, seed):
+        r = np.random.default_rng(seed)
+        xy = jnp.asarray(r.uniform(0, 400, (n, 2)).astype(np.float32))
+        kp = Keypoints(xy, jnp.tile(jnp.eye(2), (n, 1, 1)),
+                       jnp.ones(n), jnp.zeros(n), jnp.ones(n, bool))
+        return Features(det=kp, reproj=kp,
+                        desc=jnp.asarray(r.integers(0, 255, (n, 128))
+                                         .astype(np.float32)))
+
+    f1 = feats(96, 1)
+    f2 = feats(300, 2)
+    par = MatchPars()
+    t_dense = match_fginn(f1, f2, par, 0.95, int_exact=True)
+    t_stream = match_fginn_streaming(f1, f2, par, 0.95, block=64,
+                                     int_exact=True)
+    np.testing.assert_array_equal(np.asarray(t_dense.valid),
+                                  np.asarray(t_stream.valid))
+    v = np.asarray(t_dense.valid)
+    np.testing.assert_allclose(np.asarray(t_dense.xy2)[v],
+                               np.asarray(t_stream.xy2)[v], atol=1e-5)
