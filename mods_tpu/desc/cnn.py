@@ -46,15 +46,19 @@ def load_pth_state(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _layers_from_state(sd: Dict[str, np.ndarray]) -> Dict[int, Dict[str, np.ndarray]]:
-    """Group `features.N.*` tensors by layer index N."""
-    layers: Dict[int, Dict[str, np.ndarray]] = {}
+def _layers_from_state(sd: Dict[str, np.ndarray]) -> Dict:
+    """Group `features.N.*` tensors by layer index N; `whiten.*` keys
+    (optional trained embedding whitening) ride along under "whiten"."""
+    layers: Dict = {}
     for k, v in sd.items():
+        if k.startswith("whiten."):
+            layers.setdefault("whiten", {})[k.split(".", 1)[1]] = v
+            continue
         if not k.startswith("features."):
             continue
         parts = k.split(".")
-        idx = int(parts[1])
-        layers.setdefault(idx, {})[parts[2]] = v
+        # string keys keep the pytree sortable alongside "whiten"
+        layers.setdefault(parts[1], {})[parts[2]] = v
     return layers
 
 
@@ -113,9 +117,10 @@ _RELU_AFTER_BN = set()
 
 
 def _run_sequential(x, layers, spec):
-    """spec: list of (idx, kind, stride, pad, relu_after)."""
+    """spec: list of (idx, kind, stride, pad, relu_after); layer dicts
+    may be keyed by int (training params) or str (loaded state)."""
     for idx, kind, stride, pad, relu in spec:
-        p = layers.get(idx, {})
+        p = layers.get(idx) or layers.get(str(idx), {})
         if kind == "conv":
             x = _conv(x, p["weight"], p.get("bias"), stride, pad)
         elif kind == "bn":
@@ -158,12 +163,23 @@ _ORINET_SPEC = [s if s[0] != 19 else (19, "conv", 1, 1, False)
 
 @partial(jax.jit, static_argnames=())
 def hardnet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
-    """[N,32,32] patches (0..255 float) -> [N,128] quantized descriptors."""
+    """[N,32,32] patches (0..255 float) -> [N,128] quantized descriptors.
+
+    If the checkpoint carries a trained `whiten.{mean,W}` pair (PCA
+    whitening of the embedding computed on TRAINING descriptors), it is
+    applied between the L2 norm and the daemon quantization — a
+    descriptor-design refinement of our HardNet substitute; wire format
+    (128-D, clip(210*(d+0.45))) unchanged."""
     x = patches[:, None, :, :]
     x = _input_norm(x)
     x = _run_sequential(x, params, _HARDNET_SPEC)
     x = x.reshape(x.shape[0], -1)
     x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-10)
+    if "whiten" in params:
+        wp = params["whiten"]
+        x = jnp.dot(x - wp["mean"][None, :], wp["W"].T,
+                    precision=jax.lax.Precision.HIGHEST)
+        x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-10)
     return jnp.clip(210.0 * (x + 0.45), 0.0, 255.0)
 
 

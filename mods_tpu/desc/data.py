@@ -23,6 +23,7 @@ deep-pipeline wire format (reference config_aff_ori_desc_zeromq.ini
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Tuple
 
 import jax
@@ -104,14 +105,35 @@ def _lines_texture(rng: np.random.Generator, size: int) -> np.ndarray:
     return img.astype(np.float32)
 
 
-# natural photos available offline (no benchmark images here — graf1/6
-# are the golden test pair and are deliberately EXCLUDED from training)
-_PHOTO_PATHS = (
-    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
-    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/alien1.jpg",
-    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/intro_freedom.jpg",
-    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/intro_blade.jpg",
-)
+def _discover_photos(max_n: int = 48) -> List[str]:
+    """Natural/structured images available offline (photos, screenshots,
+    rendered scenes — real edge statistics).  graf1/6 are the golden
+    test pair and are deliberately EXCLUDED from training."""
+    import glob
+    import cv2
+    roots = (
+        "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/*.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/*.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.png",
+    )
+    out, seen = [], set()
+    for pat in roots:
+        for p in sorted(glob.glob(pat)):
+            stem = os.path.basename(p).rstrip("1234567890")
+            if stem in seen:               # skip near-duplicate twins
+                continue
+            im = cv2.imread(p)
+            if im is None:
+                continue
+            h, w = im.shape[:2]
+            if min(h, w) < 200 or im.std() < 25:
+                continue
+            seen.add(stem)
+            out.append(p)
+            if len(out) >= max_n:
+                return out
+    return out
 
 
 def make_base_images(n: int, size: int = 512, seed: int = 0,
@@ -125,7 +147,7 @@ def make_base_images(n: int, size: int = 512, seed: int = 0,
             im = cv2.imread(p)
             if im is not None:
                 imgs.append(im.astype(np.float32).mean(axis=2))
-    for p in _PHOTO_PATHS:
+    for p in _discover_photos():
         if len(imgs) >= n:
             break
         im = cv2.imread(p)
@@ -290,6 +312,7 @@ def _random_homography(rng: np.random.Generator, size: int) -> np.ndarray:
         src = np.float32([[0, 0], [size, 0], [size, size], [0, size]])
         dst = src + rng.uniform(-m, m, (4, 2)).astype(np.float32)
         H = cv2.getPerspectiveTransform(src, dst)
+        aa = None
     else:
         t = math.exp(rng.uniform(math.log(1.5), math.log(6.0)))
         psi = rng.uniform(0, math.pi)
@@ -307,16 +330,54 @@ def _random_homography(rng: np.random.Generator, size: int) -> np.ndarray:
         # small projective component on top
         H[2, 0] = rng.uniform(-0.3, 0.3) / size
         H[2, 1] = rng.uniform(-0.3, 0.3) / size
-    return (R @ H).astype(np.float64)
+        aa = (t, psi)
+    return (R @ H).astype(np.float64), aa
+
+
+def _aa_preblur(img: np.ndarray, aa) -> np.ndarray:
+    """Directional anti-alias blur BEFORE a t-fold minifying warp
+    (ASIFT / GenerateSynthImageCorr semantics: sigma = 0.8 sqrt(t^2-1)
+    along the to-be-compressed axis; cv2.warpPerspective INTER_LINEAR
+    aliases badly without it, which trains the descriptor on the wrong
+    noise)."""
+    import cv2
+    if aa is None:
+        return img
+    t, psi = aa
+    if t < 1.15:
+        return img
+    sigma = 0.8 * math.sqrt(t * t - 1.0)
+    ks = int(6 * sigma + 1) | 1
+    g = cv2.getGaussianKernel(ks, sigma)
+    K = np.zeros((ks, ks), np.float32)
+    K[ks // 2, :] = g[:, 0]
+    M = cv2.getRotationMatrix2D((ks // 2, ks // 2),
+                                -math.degrees(psi), 1.0)
+    K = cv2.warpAffine(K, M, (ks, ks))
+    K /= max(K.sum(), 1e-9)
+    return cv2.filter2D(img, -1, K)
 
 
 def _photometric_image(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    """Camera-like nuisance chain: gain/bias, gamma, optics blur, sensor
+    noise, JPEG blocking — the appearance gap between two real photos of
+    the same scene, not just the gain/noise of a re-render."""
     import cv2
     out = img * rng.uniform(0.65, 1.4) + rng.uniform(-25, 25)
+    if rng.random() < 0.7:
+        g = math.exp(rng.uniform(math.log(0.6), math.log(1.6)))
+        out = 255.0 * np.power(np.clip(out, 0, 255) / 255.0, g)
     if rng.random() < 0.5:
         out = cv2.GaussianBlur(out, (0, 0), rng.uniform(0.4, 1.1))
     out = out + rng.normal(0, rng.uniform(0.5, 4.0), out.shape)
-    return np.clip(out, 0, 255).astype(np.float32)
+    out = np.clip(out, 0, 255).astype(np.float32)
+    if rng.random() < 0.5:
+        q = int(rng.integers(45, 95))
+        ok, buf = cv2.imencode(".jpg", out.astype(np.uint8),
+                               [cv2.IMWRITE_JPEG_QUALITY, q])
+        if ok:
+            out = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    return out
 
 
 def _deep_frames(img: np.ndarray, cfg, max_kp: int):
@@ -427,10 +488,10 @@ def generate_pairs_pipeline(n_pairs: int, seed: int = 0, n_images: int = 96,
         d1, p1, xy1, A1, s1, v1 = _deep_frames(base, cfg, max_kp)
         pat1 = None
         for vi in range(views_per_image):
-            H = _random_homography(rng, size)
+            H, aa = _random_homography(rng, size)
             warped = cv2.warpPerspective(
-                img, H, (size, size), flags=cv2.INTER_LINEAR,
-                borderMode=cv2.BORDER_REFLECT)
+                _aa_preblur(img, aa), H, (size, size),
+                flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
             warped = _photometric_image(rng, warped)
             d2, p2, xy2, A2, s2, v2 = _deep_frames(warped, cfg, max_kp)
             iv1 = np.where(v1)[0]

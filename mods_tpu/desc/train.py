@@ -148,9 +148,10 @@ def make_train_step(optimizer: optax.GradientTransformation,
     return train_step
 
 
-def save_hardnet_npz(params: Dict, path: str) -> None:
+def save_hardnet_npz(params: Dict, path: str, whiten=None) -> None:
     """Save trained params in the `features.N.*` state-dict layout that
-    cnn._layers_from_state / _get_params load."""
+    cnn._layers_from_state / _get_params load.  `whiten`: optional
+    (mean [128], W [128,128]) embedding whitening."""
     out = {}
     for k, v in params.items():
         v = np.asarray(v, np.float32)
@@ -160,7 +161,45 @@ def save_hardnet_npz(params: Dict, path: str) -> None:
             idx, kind = k[2:].split("_")
             name = "running_mean" if kind == "mean" else "running_var"
             out[f"features.{idx}.{name}"] = v
+    if whiten is not None:
+        out["whiten.mean"] = np.asarray(whiten[0], np.float32)
+        out["whiten.W"] = np.asarray(whiten[1], np.float32)
     np.savez(path, **out)
+
+
+def load_hardnet_npz(path: str) -> Dict:
+    """Inverse of save_hardnet_npz (whitening keys ignored — training
+    params only)."""
+    sd = dict(np.load(path))
+    params: Dict = {}
+    for k, v in sd.items():
+        if k.startswith("whiten."):
+            continue
+        idx = int(k.split(".")[1])
+        if k.endswith(".weight"):
+            params[f"w{idx}"] = jnp.asarray(v)
+        elif k.endswith(".running_mean"):
+            params[f"bn{idx}_mean"] = jnp.asarray(v)
+        elif k.endswith(".running_var"):
+            params[f"bn{idx}_var"] = jnp.asarray(v)
+    return params
+
+
+def compute_whitening(params: Dict, patches: np.ndarray, alpha: float = 0.5,
+                      eps: float = 1e-6, batch: int = 4096):
+    """PCA whitening of the (L2-normalized) embedding on training
+    patches: W = U diag((lambda+eps)^-alpha) U^T, mean-centered.
+    alpha=0.5 is full whitening; smaller values shrink gently."""
+    embs = []
+    for i in range(0, len(patches), batch):
+        embs.append(np.asarray(hardnet_embed(
+            params, jnp.asarray(patches[i:i + batch]))))
+    X = np.concatenate(embs)
+    mu = X.mean(0)
+    C = np.cov((X - mu).T)
+    lam, U = np.linalg.eigh(C)
+    W = (U * np.power(np.maximum(lam, 0) + eps, -alpha)) @ U.T
+    return mu.astype(np.float32), W.astype(np.float32)
 
 
 def make_sharded_train_step(mesh: Mesh, optimizer: optax.GradientTransformation):
