@@ -88,6 +88,17 @@ def main():
         _ = int(jnp.sum(f.det.valid))
     extract_ms = (time.time() - t0) / 4 * 1000.0
 
+    # amortized (serving-regime) per-image extraction: B images per
+    # dispatch removes the ~33 ms relay floor from the per-image figure
+    exB = jax.jit(lambda ims: jax.lax.map(
+        lambda im: jnp.sum(extract_jit(im, fc, max_kp).det.valid), ims))
+    imsB = jnp.broadcast_to(i1, (BATCH,) + i1.shape)
+    _ = int(exB(imsB)[0])
+    t0 = time.time()
+    for _r in range(2):
+        _ = int(exB(imsB)[0])
+    extract_ms_batched = (time.time() - t0) / 2 / BATCH * 1000.0
+
     # deep config (Hessian+AffNet+OriNet+HardNet, BASELINE.md row 1) —
     # host-orchestrated pipeline; requires trained HardNet weights
     deep = {}
@@ -147,6 +158,7 @@ def main():
         "single_pair_time_s": round(single_pair_s, 4),
         "batch": BATCH,
         "detect_desc_ms_per_image": round(extract_ms, 1),
+        "extract_ms_batched": round(extract_ms_batched, 1),
         **deep,
         **fpath,
     }))
