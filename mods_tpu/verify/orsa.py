@@ -162,8 +162,11 @@ def orsa_filter(t: Tentatives, pars: RANSACPars, w: int, h: int,
     apply the F-LAF check, else reject everything."""
     if key is None:
         key = jax.random.PRNGKey(pars.seed)
+    # the reference samples 10000 iterations sequentially (orsa.cpp:523);
+    # two batches of >=4096 hypotheses give a comparable search budget
+    batch = max(pars.batch_hypotheses, 4096)
     F, inl, nfa = _orsa_core(t.xy1, t.xy2, t.valid, float(w), float(h), key,
-                             pars.batch_hypotheses)
+                             batch)
     significant = nfa < nfa_max
     keep = inl & significant
     if pars.LAFCoef > 0:
