@@ -101,12 +101,14 @@ def build_mip_pyramid(img: jnp.ndarray, n_levels: int = 11) -> jnp.ndarray:
     return jnp.stack(levels)
 
 
-@partial(jax.jit, static_argnames=("out_size", "mode", "precision"))
+@partial(jax.jit, static_argnames=("out_size", "mode", "precision",
+                                   "blend"))
 def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                    out_size: int, mode: str = "antialias",
                    sigma_target: jnp.ndarray = None,
                    valid: jnp.ndarray = None,
-                   precision: str = "DEFAULT") -> jnp.ndarray:
+                   precision: str = "DEFAULT",
+                   blend: bool = True) -> jnp.ndarray:
     """Affine patches from a mip pyramid (auto level selection).
 
     patch[n,p,q] = img(xy[n] + A[n] @ (q-c, p-c)), A in image pixels,
@@ -238,7 +240,7 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
             return _hat_resample(wins, px, py, inb)
 
         out_lo = level_sample(lev)
-        if mode == "antialias":
+        if mode == "antialias" and blend:
             out_hi = level_sample(lev2)
             return (1.0 - wgt[:, None, None]) * out_lo + wgt[:, None, None] * out_hi
         return out_lo
