@@ -32,7 +32,8 @@ from .homography import (MIN_POINTS, MWM, TC, ILSQ_ITERS, apply_h,
                          msac_score, normalize_transform, trunc_quad,
                          _weighted_lsq_h)
 
-K_SIGMA = 2.0 * 3.0 * math.sqrt(3.0)
+K_SIGMA = 3.0   # matching.cpp:171 k_sigma (LAF-check aux-point radius;
+#   NOT synth-detection.cpp's 3*sqrt(3) measurement-region k_sigma)
 
 # checksample index triples (DegUtils.c:43)
 _DEGEN_TRIPLES = np.array([[0, 1, 2], [3, 4, 5], [0, 1, 6],
@@ -83,16 +84,27 @@ def _hdetect(F: jnp.ndarray, xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarra
 
 
 def _degeneracy_pass(F_in, sample_p_in, sample_q_in, xy1_in, xy2_in, valid,
-                     th_in, key, pp_batch: int = 256):
+                     th_in, key, pp_batch: int = 256, h_batch: int = 512):
     """DEGENSAC H-degeneracy handling (exp_ranF.c:959-1003), batched and
-    branchless: checksample on the winning 7-sample, H local-opt over all
-    correspondences (innerH), plane-and-parallax F recovery (rFtH).
-    Returns (F_pp, J_pp, degenerate) in the INPUT coordinate frame --
-    caller adopts F_pp when degenerate and better.
+    branchless: checksample on the winning 7-sample PLUS a direct
+    dominant-plane sweep, H local-opt over all correspondences (innerH),
+    plane-and-parallax F recovery (rFtH).  Returns (F_pp, J_pp,
+    degenerate) in the INPUT coordinate frame -- caller adopts F_pp when
+    degenerate and better.
+
+    The reference runs checksample on EVERY sample that improves the
+    running best (exp_ranF.c:959), so on a dominant-plane scene some
+    sample always fires the degeneracy machinery.  A single-dispatch
+    batched program cannot iterate samples sequentially; the equivalent
+    coverage comes from detecting the dominant plane directly with a
+    batched 4-point homography sweep over ALL tentatives (strictly more
+    samples than the reference's per-7-sample triples see), alongside
+    the reference-exact checksample of the winning sample.
 
     All DLT fits run in Hartley-normalized coordinates (float32 eigh of
     the unnormalized 9x9 normal matrix is numerically useless at pixel
     scale), mirroring the reference's normu inside u2h/u2f."""
+    from .homography import _sweep_h
     vf = valid.astype(jnp.float32)
     Ta = normalize_transform(xy1_in, vf)
     Tb = normalize_transform(xy2_in, vf)
@@ -106,6 +118,7 @@ def _degeneracy_pass(F_in, sample_p_in, sample_q_in, xy1_in, xy2_in, valid,
     F_best = Tbi.T @ F_in @ Tai
     th_n = th_in * Tb[0, 0] * Tb[0, 0]
     M = xy1n.shape[0]
+    k_h, k_pp = jax.random.split(key)
     # --- checksample (DegUtils.c:42-81): 5 triples -> H, refit on the 5
     # sample points closest to H, degenerate if >4 of 7 agree
     Hs = jax.vmap(lambda t: _hdetect(F_best, sample_p[t], sample_q[t]))(
@@ -123,24 +136,42 @@ def _degeneracy_pass(F_in, sample_p_in, sample_q_in, xy1_in, xy2_in, valid,
     d7f = jax.vmap(lambda H: _h_transfer_sq(H, sample_p, sample_q))(Hs_fit)
     inl7 = jnp.sum(d7f < 3.0 * th_n * 2.0, axis=1)    # dHDs is a 2-sided sum
     hi = jnp.argmax(inl7)
-    degenerate = inl7[hi] > 4
-    H0 = Hs_fit[hi]
+    sample_degen = inl7[hi] > 4
+    H_cs = Hs_fit[hi]
 
-    # --- innerH (DegUtils.c:693): iterative weighted LSQ on H inliers
-    def inner_body(H, _):
-        d = _h_transfer_sq(H, xy1n, xy2n)
-        w = (valid & (d <= 16.0 * th_n * 2.0)).astype(jnp.float32)
-        Hn = _weighted_lsq_h(xy1n, xy2n, w)
-        return Hn, None
-    H_opt, _ = jax.lax.scan(inner_body, H0, None, length=4)
-    d_h = _h_transfer_sq(H_opt, xy1n, xy2n)
-    h_inl = valid & (d_h <= 3.0 * th_n * 2.0)
+    # --- dominant-plane sweep: best 4-point H over all tentatives
+    H_sw, I_sw, J_sw = _sweep_h(xy1n, xy2n, valid, th_n, k_h, h_batch)
+
+    # --- innerH (DegUtils.c:693): iterative weighted LSQ on H inliers,
+    # run from both candidates; keep the one with the larger consensus
+    def inner_h(H0):
+        def inner_body(H, _):
+            d = _h_transfer_sq(H, xy1n, xy2n)
+            w = (valid & (d <= 16.0 * th_n * 2.0)).astype(jnp.float32)
+            Hn = _weighted_lsq_h(xy1n, xy2n, w)
+            return Hn, None
+        H_opt, _ = jax.lax.scan(inner_body, H0, None, length=4)
+        d_h = _h_transfer_sq(H_opt, xy1n, xy2n)
+        return H_opt, valid & (d_h <= 3.0 * th_n * 2.0), d_h
+    H_opt_a, h_inl_a, d_h_a = inner_h(H_cs)
+    H_opt_b, h_inl_b, d_h_b = inner_h(H_sw)
+    # prefer the checksample candidate on ties (reference entry path);
+    # non-finite innerH output (degenerate LSQ) must never win
+    ok_a = sample_degen & jnp.all(jnp.isfinite(H_opt_a))
+    ok_b = jnp.all(jnp.isfinite(H_opt_b))
+    na = jnp.where(ok_a, jnp.sum(h_inl_a), -1)
+    nb = jnp.where(ok_b, jnp.sum(h_inl_b), -1)
+    use_a = na >= nb
+    H_opt = jnp.where(use_a, H_opt_a, H_opt_b)
+    h_inl = jnp.where(use_a, h_inl_a, h_inl_b)
+    d_h = jnp.where(use_a, d_h_a, d_h_b)
+    degenerate = jnp.sum(h_inl) > 6          # exp_ranF.c: innerH I > 6
 
     # --- rFtH (DegUtils.c:253): for off-plane points the lines
     # x2 x (H x1) meet in the epipole; sample pairs, F = [e2]x H
     off = valid & (d_h > 100.0 * th_n * 2.0)
     lines = jnp.cross(_homog(xy2n), _homog(xy1n) @ H_opt.T)   # [M,3]
-    u = jax.random.uniform(key, (pp_batch, M))
+    u = jax.random.uniform(k_pp, (pp_batch, M))
     u = jnp.where(off[None, :], u, -1.0)
     _, pidx = jax.lax.approx_max_k(u, 2)
     e2c = jnp.cross(lines[pidx[:, 0]], lines[pidx[:, 1]])     # [B,3]
@@ -148,13 +179,15 @@ def _degeneracy_pass(F_in, sample_p_in, sample_q_in, xy1_in, xy2_in, valid,
     F_pp = _skew(e2c) @ H_opt                                  # [B,3,3]
     d_pp = jax.vmap(lambda F: sampson_f_sq(F, xy1n, xy2n))(F_pp)
     I_pp, J_pp = msac_score(d_pp, valid[None, :], th_n)
-    ok = jnp.sum(off) >= 2
+    # rFtH needs >= 4 off-plane points and >= 6 plane inliers
+    # (DegUtils.c:342) -- otherwise it contributes nothing
+    ok = (jnp.sum(off) >= 4) & (jnp.sum(h_inl) >= 6)
     J_pp = jnp.where(ok, J_pp, -1.0)
     bi = jnp.argmax(J_pp)
     F_out = Tb.T @ F_pp[bi] @ Ta                 # back to the input frame
     nrm = jnp.linalg.norm(F_out)
     F_out = F_out / jnp.where(nrm < 1e-12, 1.0, nrm)
-    return F_out, J_pp[bi], degenerate & (jnp.sum(h_inl) > 6)
+    return F_out, J_pp[bi], degenerate
 
 
 def f_rows(xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
@@ -378,6 +411,9 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
             F_best, p7, q7, xy1n, xy2n, valid, th_n, k3)
         adopt = is_degen & (J_pp > J_best)
         F_best = jnp.where(adopt, F_pp, F_best)
+        J_best = jnp.where(adopt, J_pp, J_best)
+    else:
+        adopt = jnp.bool_(False)
 
     # LO: LSQ on generous inliers + subset batch
     d_best = sampson_f_sq(F_best, xy1n, xy2n)
@@ -412,6 +448,15 @@ def _ransac_f_core(xy1, xy2, valid, th, key, batch: int, lo_batch: int,
     use_fin = J_fin >= jnp.max(cand_J)
     F_out = jnp.where(use_fin, F_fin, Fg)
     d_out = jnp.where(use_fin, d_fin, d_g)
+    # H-degenerate scene: the reference suppresses ALL LSQ local
+    # optimization once the degenerate path fired (exp_ranF.c:1031/1080
+    # gate on degen_cnt) — an 8-point fit on coplanar inliers has a
+    # 3-dim null space and returns an arbitrary family member whose
+    # off-point epipolar geometry is garbage (the LAF check then kills
+    # real matches).  Keep the plane-and-parallax F instead.
+    d_pp_full = sampson_f_sq(F_best, xy1n, xy2n)
+    F_out = jnp.where(adopt, F_best, F_out)
+    d_out = jnp.where(adopt, d_pp_full, d_out)
     inliers = valid & (d_out <= th_n)
     I_out, J_out = msac_score(d_out, valid, th_n)
 

@@ -30,7 +30,8 @@ import numpy as np
 from ..config import RANSACPars
 from ..types import MatchResult, Tentatives
 
-K_SIGMA = 2.0 * 3.0 * math.sqrt(3.0)
+K_SIGMA = 3.0   # matching.cpp:171 k_sigma (LAF-check aux-point radius;
+#   NOT synth-detection.cpp's 3*sqrt(3) measurement-region k_sigma)
 TC = 4.0
 MWM = 2.0           # C macro (9/4) under integer division
 ILSQ_ITERS = 4

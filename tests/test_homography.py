@@ -63,9 +63,14 @@ def test_loransac_all_outliers_returns_few():
 def test_laf_check_drops_inconsistent_shapes():
     pars = RANSACPars(err_threshold=4.0, HLAFCoef=10.0)
     t = _make_tentatives(H_TRUE, n_in=60, n_out=0, noise=0.1)
-    # corrupt affine shapes of half the matches: LAF points then violate H
+    # corrupt affine shapes of half the matches: LAF points then violate H.
+    # With the reference's aux-point radius k_sigma = 3.0 (matching.cpp:171)
+    # and threshold 3*HLAFCoef*err = 120 px (matching.cpp:798), the LAF
+    # error of a corrupted shape is ~ 3*s*|a11_bad - a11| = 6*|Δa11| px,
+    # so the corruption must exceed ~20x to trip the check (the reference
+    # itself would KEEP a 10x-corrupted shape at these parameters).
     A2 = np.asarray(t.A2).copy()
-    A2[:30, 0, 0] = 10.0
+    A2[:30, 0, 0] = 40.0
     A2[:30, 1, 1] = 0.1
     t2 = Tentatives(t.xy1, t.xy2, t.A1, jnp.asarray(A2), t.s1, t.s2,
                     t.d1, t.d2, t.ratio, t.valid)
