@@ -57,10 +57,13 @@ def main():
     _ = int(out[1])
     single_pair_s = time.time() - t0
 
-    # throughput: B pairs per dispatch
-    fnB = match_pairs_fn(cfg, max_kp=max_kp)
-    imgs1 = jnp.broadcast_to(i1, (BATCH,) + i1.shape)
-    imgs2 = jnp.broadcast_to(i2, (BATCH,) + i2.shape)
+    # throughput: B pairs per dispatch.  The batch holds DISTINCT pairs
+    # (swaps / flips / 180-rotations of the golden pair): identical
+    # images per dispatch would flatter caches and hide load imbalance.
+    variants1 = [img1, img2, img1[:, ::-1].copy(), img1[::-1, ::-1].copy()]
+    variants2 = [img2, img1, img2[:, ::-1].copy(), img2[::-1, ::-1].copy()]
+    imgs1 = jnp.asarray(np.stack([variants1[b % 4] for b in range(BATCH)]))
+    imgs2 = jnp.asarray(np.stack([variants2[b % 4] for b in range(BATCH)]))
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(BATCH, dtype=jnp.uint32))
 
     out = fnB(imgs1, imgs2, keys)
@@ -92,7 +95,7 @@ def main():
     # dispatch removes the ~33 ms relay floor from the per-image figure
     exB = jax.jit(lambda ims: jax.lax.map(
         lambda im: jnp.sum(extract_jit(im, fc, max_kp).det.valid), ims))
-    imsB = jnp.broadcast_to(i1, (BATCH,) + i1.shape)
+    imsB = imgs1                      # distinct images (see above)
     _ = int(exB(imsB)[0])
     t0 = time.time()
     for _r in range(2):

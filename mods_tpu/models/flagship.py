@@ -130,9 +130,14 @@ def extract_jit(img: jnp.ndarray, cfg: Config, max_kp: int) -> Features:
 def _match_pair_body(img1, img2, key, cfg: Config, max_kp: int):
     f1 = extract_jit(img1, cfg, max_kp)
     f2 = extract_jit(img2, cfg, max_kp)
-    t = match_fginn(f1, f2, cfg.matching, 0.8, int_exact=True)
+    # config-faithful matcher parameters (correspondencebank.cpp:245-343):
+    # the FGINN ratio comes from the schedule's per-descriptor map, like
+    # the host-orchestrated path in twoview.py
+    ratio = cfg.matching.FGINNThreshold.get("RootSIFT", 0.8)
+    t = match_fginn(f1, f2, cfg.matching, ratio, int_exact=True)
+    dup_cap = min(2048, 2 * max_kp)
     t = duplicate_filter(t, cfg.filtering.duplicateDist, cfg.filtering.mode,
-                         cap=2048)
+                         cap=dup_cap)
     th = jnp.float32(cfg.ransac.err_threshold ** 2)
     H, inl, I, J = _ransac_h_core(t.xy1, t.xy2, t.valid, th, key,
                                   cfg.ransac.batch_hypotheses,

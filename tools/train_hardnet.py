@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--resume", default="",
                     help="npz checkpoint to continue from")
+    ap.add_argument("--cache", action="append", default=[],
+                    help="explicit pair-cache npz file(s); skips "
+                         "generation and concatenates (id namespaces "
+                         "are offset per file)")
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="steps per device dispatch (lax.scan chunk)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -60,11 +66,26 @@ def main():
     # cache keyed on every generation input (round-3 advisor: a stale
     # cache silently overrode --pairs/--images)
     cache_key = hashlib.sha1(
-        f"v2|{args.mode}|{args.pairs}|{args.images}|{args.seed}".encode()
+        f"v3|{args.mode}|{args.pairs}|{args.images}|{args.seed}".encode()
     ).hexdigest()[:12]
     cache = os.path.join(args.data_cache_dir, f"hardnet_pairs_{cache_key}.npz")
 
-    if os.path.exists(cache):
+    if args.cache:
+        # explicit cache files: concatenate, offsetting id namespaces so
+        # same-numbered keypoints from different files never alias
+        aa, pp, ii = [], [], []
+        off = 0
+        for c in args.cache:
+            z = np.load(c)
+            aa.append(z["a"])
+            pp.append(z["p"])
+            ii.append(z["i"].astype(np.int64) + off)
+            off += 4_000_000_000
+            print(f"loaded {len(aa[-1])} pairs from {c}", flush=True)
+        anchors = np.concatenate(aa)
+        positives = np.concatenate(pp)
+        kp_ids = np.concatenate(ii)
+    elif os.path.exists(cache):
         z = np.load(cache)
         anchors, positives, kp_ids = z["a"], z["p"], z["i"]
         print(f"loaded {len(anchors)} cached pairs from {cache}", flush=True)
@@ -154,29 +175,54 @@ def main():
                      / jnp.maximum(jnp.sum(neg_mask), 1))
         return acc, neg_below
 
-    rng = np.random.default_rng(0)
+    # device-resident training: the whole pair set lives in HBM as uint8
+    # (sub-greylevel rounding — inference patches are PNG-rounded anyway)
+    # and a lax.scan runs `--chunk` steps per dispatch with on-device
+    # batch sampling.  Through the single-chip relay this removes BOTH
+    # the ~17 MB/step host->device batch upload and the ~33 ms dispatch
+    # floor that dominated the round-4 host loop.
+    tr_a_dev = jnp.asarray(np.clip(np.round(tr_a), 0, 255).astype(np.uint8))
+    tr_p_dev = jnp.asarray(np.clip(np.round(tr_p), 0, 255).astype(np.uint8))
+    tr_i_dev = jnp.asarray(tr_i)
+
+    @jax.jit
+    def run_chunk(params, opt_state, key, da, dp, di):
+        def body(carry, k):
+            params, opt_state = carry
+            sel = jax.random.randint(k, (args.batch,), 0, ntr)
+            a = da[sel].astype(jnp.float32)
+            p = dp[sel].astype(jnp.float32)
+            params, opt_state, loss = step(params, opt_state, a, p, di[sel])
+            return (params, opt_state), loss
+        keys = jax.random.split(key, args.chunk)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, jnp.mean(losses)
+
     t0 = time.time()
     best_fpr = 1e9
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    for i in range(args.steps):
-        sel = rng.integers(0, ntr, args.batch)
-        a = jnp.asarray(tr_a[sel])
-        p = jnp.asarray(tr_p[sel])
-        ii = jnp.asarray(tr_i[sel])
-        params, opt_state, loss = step(params, opt_state, a, p, ii)
-        if i % args.eval_every == 0 or i == args.steps - 1:
-            acc, fpr = fpr95(params, val_a, val_p, val_i)
-            print(f"step {i:6d} loss {float(loss):.4f} "
-                  f"val_acc {float(acc):.4f} fpr95 {float(fpr):.4f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-            if float(fpr) < best_fpr and i > 0:
-                best_fpr = float(fpr)
-                T.save_hardnet_npz(params, args.out + ".best")
-            T.save_hardnet_npz(params, args.out + ".last")
-            if i and i % 2000 == 0:
-                # step-tagged checkpoints: graf-pair model selection
-                # happens AFTER training (tools/eval_deep.py)
-                T.save_hardnet_npz(params, args.out + f".s{i}")
+    ckey = jax.random.PRNGKey(args.seed + 7)
+    i = 0
+    last_tag = 0
+    while i < args.steps:
+        ckey, sub = jax.random.split(ckey)
+        params, opt_state, loss = run_chunk(params, opt_state, sub,
+                                            tr_a_dev, tr_p_dev, tr_i_dev)
+        i += args.chunk
+        acc, fpr = fpr95(params, val_a, val_p, val_i)
+        print(f"step {i:6d} loss {float(loss):.4f} "
+              f"val_acc {float(acc):.4f} fpr95 {float(fpr):.4f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        if float(fpr) < best_fpr:
+            best_fpr = float(fpr)
+            T.save_hardnet_npz(params, args.out + ".best")
+        T.save_hardnet_npz(params, args.out + ".last")
+        if i - last_tag >= 2000:
+            # step-tagged checkpoints: graf-pair model selection
+            # happens AFTER training (tools/eval_deep.py)
+            last_tag = i
+            T.save_hardnet_npz(params, args.out + f".s{i}")
 
     T.save_hardnet_npz(params, args.out)
     print(f"saved {args.out} (best fpr95 {best_fpr:.4f})", flush=True)
