@@ -102,8 +102,11 @@ def main():
         _ = int(exB(imsB)[0])
     extract_ms_batched = (time.time() - t0) / 2 / BATCH * 1000.0
 
-    # deep config (Hessian+AffNet+OriNet+HardNet, BASELINE.md row 1) —
-    # host-orchestrated pipeline; requires trained HardNet weights
+    # deep config (Hessian+AffNet+OriNet+HardNet, BASELINE.md row 1).
+    # Inlier/tentative parity fields come from the full-fidelity
+    # host-orchestrated path (twoview.match_images, incl. H-LAF check);
+    # throughput comes from the single-dispatch deep device program
+    # (models/deep.py), batched B pairs per dispatch.
     deep = {}
     try:
         from mods_tpu.twoview import match_images
@@ -115,17 +118,37 @@ def main():
         r0 = match_images(img1g, img2g, dcfg)     # warm-up/compile
         t0 = time.time()
         r1 = match_images(img1g, img2g, dcfg)
-        deep_dt = time.time() - t0
+        deep_host_dt = time.time() - t0
         deep = {
-            "deep_pairs_per_s": round(1.0 / deep_dt, 3),
-            "deep_vs_baseline": round((1.0 / deep_dt) / (1.0 / 2.52), 2),
             "deep_inliers": r1.inliers,
             "deep_tentatives": r1.unique_tentatives,
             # reference: 3731/3358 and 4527/4118 (README.md:60-61) —
             # splits the deep gap into regions vs descriptor quality
             "deep_regions": [r1.regions1, r1.regions2],
             "deep_descriptors": [r1.descriptors1, r1.descriptors2],
+            "deep_host_pairs_per_s": round(1.0 / deep_host_dt, 3),
         }
+        from mods_tpu.models.deep import (match_pair_deep_fn,
+                                          match_pairs_deep_fn)
+        DB = 4
+        dkp = dcfg.max_keypoints
+        dfn1 = match_pair_deep_fn(dcfg, max_kp=dkp)
+        out = dfn1(i1, i2, jax.random.PRNGKey(0))
+        deep["deep_device_inliers"] = int(out[1])
+        deep["deep_device_tentatives"] = int(out[2])
+        dfnB = match_pairs_deep_fn(dcfg, max_kp=dkp)
+        di1 = jnp.asarray(np.stack([variants1[b % 4] for b in range(DB)]))
+        di2 = jnp.asarray(np.stack([variants2[b % 4] for b in range(DB)]))
+        dkeys = jax.vmap(jax.random.PRNGKey)(jnp.arange(DB, dtype=jnp.uint32))
+        outB = dfnB(di1, di2, dkeys)
+        _ = int(outB[1][0])                       # warm-up + sync
+        t0 = time.time()
+        for _r in range(2):
+            outB = dfnB(di1, di2, dkeys)
+            _ = int(outB[1][0])
+        deep_dt = (time.time() - t0) / (2 * DB)
+        deep["deep_pairs_per_s"] = round(1.0 / deep_dt, 3)
+        deep["deep_vs_baseline"] = round((1.0 / deep_dt) / (1.0 / 2.52), 2)
     except FileNotFoundError as e:
         deep = {"deep_pairs_per_s": None,
                 "deep_error": "HardNet weights missing"}

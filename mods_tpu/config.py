@@ -333,6 +333,11 @@ class Config:
     # pass, HIGHEST = 6 passes (tests/test_tpu_precision.py bounds the
     # difference end to end)
     patch_precision: str = "DEFAULT"
+    # trilinear mip blend in the descriptor resampler: True samples two
+    # pyramid levels and blends by log-sigma distance (closest to the
+    # reference's per-patch 1.5k blur); False samples the nearest level
+    # only — half the resample cost at a bounded AA-fidelity cost
+    mip_blend: bool = True
     # padding caps for fixed-shape device code
     max_keypoints: int = 8192        # per (detector, view)
     max_octave_cands: int = 8192     # candidate extrema per octave

@@ -208,10 +208,11 @@ def orinet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-@partial(jax.jit, static_argnames=("patch_size", "precision"))
+@partial(jax.jit, static_argnames=("patch_size", "precision", "blend"))
 def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
                      patch_size: int,
-                     precision: str = "DEFAULT") -> jnp.ndarray:
+                     precision: str = "DEFAULT",
+                     blend: bool = True) -> jnp.ndarray:
     """On-device CNN patch sampling via the mip patch engine.
 
     Same geometry as the reference slow path (ExtractPatchesColumn,
@@ -226,7 +227,7 @@ def _cnn_patches_jit(pyr: jnp.ndarray, xy, A, s, valid, mr_size,
     k = pis / patch_size
     step = A * k[:, None, None]
     p = pe.sample_patches(pyr, xy, step, patch_size, valid=valid,
-                          precision=precision)
+                          precision=precision, blend=blend)
     return jnp.clip(jnp.round(p), 0.0, 255.0)
 
 
@@ -352,7 +353,8 @@ def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config,
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.hardnet.mrSize, cfg.hardnet.patchSize,
-                                precision=cfg.patch_precision)
+                                precision=cfg.patch_precision,
+                                blend=getattr(cfg, "mip_blend", True))
         d = np.asarray(hardnet_forward(pall, params))
         return np.where(np.asarray(kp.valid)[:, None], d, 0.0).astype(np.float32)
     p, valid = _cnn_patches(img, kp, cfg.hardnet.mrSize, cfg.hardnet.patchSize)
@@ -374,7 +376,8 @@ def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config,
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.affnet.mrSize, cfg.affnet.patchSize,
-                                precision=cfg.patch_precision)
+                                precision=cfg.patch_precision,
+                                blend=getattr(cfg, "mip_blend", True))
         abc_all = np.asarray(affnet_forward(pall, params))
         valid = np.asarray(kp.valid)
         abc = abc_all[valid]
@@ -411,7 +414,8 @@ def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config,
             pyr = mip_pyramid(img)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.orinet.mrSize, cfg.orinet.patchSize,
-                                precision=cfg.patch_precision)
+                                precision=cfg.patch_precision,
+                                blend=getattr(cfg, "mip_blend", True))
         yx_all = np.asarray(orinet_forward(pall, params))
         valid = np.asarray(kp.valid)
         yx = yx_all[valid]

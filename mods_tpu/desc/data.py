@@ -105,17 +105,20 @@ def _lines_texture(rng: np.random.Generator, size: int) -> np.ndarray:
     return img.astype(np.float32)
 
 
-def _discover_photos(max_n: int = 48) -> List[str]:
+def _discover_photos(max_n: int = 160) -> List[str]:
     """Natural/structured images available offline (photos, screenshots,
-    rendered scenes — real edge statistics).  graf1/6 are the golden
-    test pair and are deliberately EXCLUDED from training."""
+    rendered scenes, game textures — real edge statistics).  graf1/6 are
+    the golden test pair and are deliberately EXCLUDED from training."""
     import glob
     import cv2
     roots = (
         "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/*.jpg",
+        "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/*.jpg",
         "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/*.jpg",
         "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.jpg",
         "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.png",
+        # labmaze game textures: 1024^2 floor/wall/sky renders
+        "/opt/venv/lib/python3.12/site-packages/labmaze/assets/*/*.png",
     )
     out, seen = [], set()
     for pat in roots:
@@ -136,6 +139,30 @@ def _discover_photos(max_n: int = 48) -> List[str]:
     return out
 
 
+_COLLAGE = "/opt/venv/lib/python3.12/site-packages/aqt/jax_legacy/jax/imagenet/imagenet.png"
+
+
+def _collage_tiles(size: int, max_tiles: int = 24) -> List[np.ndarray]:
+    """Sub-tiles of a photo-thumbnail collage shipped in a python
+    package: at 32x32 patch scale the content is real-photo statistics
+    (the richest offline source of natural texture variety)."""
+    import cv2
+    im = cv2.imread(_COLLAGE)
+    if im is None:
+        return []
+    g = im.astype(np.float32).mean(axis=2)
+    h, w = g.shape
+    tiles = []
+    for y in range(0, h - size + 1, size):
+        for x in range(0, w - size + 1, size):
+            t = g[y:y + size, x:x + size]
+            if t.std() > 25:
+                tiles.append(np.ascontiguousarray(t))
+            if len(tiles) >= max_tiles:
+                return tiles
+    return tiles
+
+
 def make_base_images(n: int, size: int = 512, seed: int = 0,
                      include_graf: bool = True) -> List[np.ndarray]:
     import cv2
@@ -147,6 +174,10 @@ def make_base_images(n: int, size: int = 512, seed: int = 0,
             im = cv2.imread(p)
             if im is not None:
                 imgs.append(im.astype(np.float32).mean(axis=2))
+    for t in _collage_tiles(size):
+        if len(imgs) >= n:
+            break
+        imgs.append(t)
     for p in _discover_photos():
         if len(imgs) >= n:
             break
@@ -307,14 +338,20 @@ def _random_homography(rng: np.random.Generator, size: int) -> np.ndarray:
     R = np.array([[c, -s, ctr - c * ctr + s * ctr],
                   [s, c, ctr - s * ctr - c * ctr],
                   [0, 0, 1]], np.float64)
-    if rng.random() < 0.5:
+    if rng.random() < 0.4:
         m = 0.30 * size
         src = np.float32([[0, 0], [size, 0], [size, size], [0, size]])
         dst = src + rng.uniform(-m, m, (4, 2)).astype(np.float32)
         H = cv2.getPerspectiveTransform(src, dst)
         aa = None
     else:
-        t = math.exp(rng.uniform(math.log(1.5), math.log(6.0)))
+        # tilt-emphasized regime: graf6 is tilt ~4-6, and descriptor
+        # recall under strong foreshortening is the measured gap — bias
+        # 60% of tilt draws into [3, 6.5]
+        if rng.random() < 0.6:
+            t = math.exp(rng.uniform(math.log(3.0), math.log(6.5)))
+        else:
+            t = math.exp(rng.uniform(math.log(1.5), math.log(3.0)))
         psi = rng.uniform(0, math.pi)
         cp, sp = math.cos(psi), math.sin(psi)
         sc = math.exp(rng.uniform(-0.35, 0.25))

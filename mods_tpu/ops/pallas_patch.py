@@ -409,11 +409,17 @@ def _resample_one(params_ref, out_ref, wins, sems, win_slice, i, k, K, P2,
         lh = params_ref[k, 9]
         px = cxl + ig * a00 + jg * a01
         py = cyl + ig * a10 + jg * a11
+        # x-first contraction: the wide (WX) axis is consumed by the MXU
+        # matmul and the narrow (WY) axis by the VPU epilogue — the
+        # elementwise product + cross-lane reduce touches WY=112 lanes
+        # per output instead of WX=256 (the y-first order), ~2.3x less
+        # VPU work for identical FLOPs and identical bilinear output.
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))      # [P2, WX]
+        cols = jax.lax.dot_general(                            # [P2, WY]
+            hatx, wins[k], dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - ys))      # [P2, WY]
-        rows = jnp.dot(haty, wins[k], precision=precision,
-                       preferred_element_type=jnp.float32)   # [P2, WX]
-        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
-        vals = jnp.sum(rows * hatx, axis=1, keepdims=True)
+        vals = jnp.sum(cols * haty, axis=1, keepdims=True)
         gx = px + ox
         gy = py + oy
         inb = ((gx >= 0.0) & (gy >= 0.0) &
@@ -528,12 +534,15 @@ def _dma_baumberg_kernel(lev_ref, oy_ref, ox_ref, params_ref, pyr_ref,
             a11_ = u22 * ratio
             px = cxl + ig * a00 + jg * a01
             py = cyl + ig * a10 + jg * a11_
-            haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - ys))
-            rows = jnp.dot(haty, win,
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
+            # x-first: MXU consumes the wide WX axis, VPU epilogue the
+            # narrow WY axis (see _resample_one)
             hatx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xs))
-            vals = jnp.sum(rows * hatx, axis=1, keepdims=True)
+            cols = jax.lax.dot_general(
+                hatx, win, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(py - ys))
+            vals = jnp.sum(cols * haty, axis=1, keepdims=True)
             gx = px + ox
             gy = py + oy
             inb = ((gx >= 0.0) & (gy >= 0.0) &

@@ -133,7 +133,8 @@ def upright_features(img: jnp.ndarray, kp: Keypoints,
 
 
 def _describe_sift_engine(pyr, xy, A, s, valid, par,
-                          precision: str = "DEFAULT") -> jnp.ndarray:
+                          precision: str = "DEFAULT",
+                          blend: bool = True) -> jnp.ndarray:
     """Device-resident SIFT-family description via the mip patch engine
     (same slow-path geometry as the reference: per-keypoint
     patchImageSize = 2*ceil(s*mrSize)+1, k = pis/patchSize; the
@@ -145,7 +146,8 @@ def _describe_sift_engine(pyr, xy, A, s, valid, par,
     pis = 2.0 * jnp.ceil(s * par.PEParam.mrSize) + 1.0
     k = pis / ps
     patches = pe.sample_patches(pyr, xy, A * k[:, None, None], ps,
-                                valid=valid, precision=precision)
+                                valid=valid, precision=precision,
+                                blend=blend)
     if par.PEParam.photoNorm:
         mask = jnp.asarray(imops.circular_gauss_mask(ps))
         patches = imops.photometric_normalize(patches, mask)
@@ -157,7 +159,8 @@ def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
                          par: SIFTDescriptorParams,
                          pyr: Optional[jnp.ndarray] = None,
                          use_engine: bool = False,
-                         precision: str = "DEFAULT") -> np.ndarray:
+                         precision: str = "DEFAULT",
+                         blend: bool = True) -> np.ndarray:
     """Patch extraction + SIFT/RootSIFT/HalfSIFT description.
 
     reference: DescribeRegions<SIFTDescriptor> (synth-detection.hpp:170-263).
@@ -167,6 +170,7 @@ def describe_sift_family(img: jnp.ndarray, kp: Keypoints,
     reference-exact host bucketed two-stage extractor is used."""
     if use_engine and pyr is not None:
         return _describe_sift_engine(pyr, kp.xy, kp.A, kp.s, kp.valid, par,
+                                     blend=blend,
                                      precision=precision)
     valid = np.asarray(kp.valid)
     xy = np.asarray(kp.xy)[valid]
@@ -297,7 +301,9 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
             desc = describe_sift_family(img_view, kp_desc, par,
                                         pyr=_pyr() if eng else None,
                                         use_engine=eng,
-                                        precision=cfg.patch_precision)
+                                        precision=cfg.patch_precision,
+                                        blend=getattr(cfg, "mip_blend",
+                                                      True))
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
             from .desc.cnn import hardnet_describe, _use_engine
             desc = hardnet_describe(img_view, kp_desc, cfg,

@@ -263,7 +263,8 @@ def extract_step_atlas(img: jnp.ndarray, cfg: Config, det_name: str,
         kp_d = Keypoints(src.xy, src.A, src.s, src.response,
                          kp_rep2.valid)
         desc = _describe_sift_engine(pyr, kp_d.xy, kp_d.A, kp_d.s,
-                                     kp_d.valid, par)
+                                     kp_d.valid, par,
+                                     blend=getattr(cfg, "mip_blend", True))
         by_desc[desc_name] = Features(det=kp_d, reproj=kp_rep2,
                                       desc=jnp.asarray(desc))
         if tl is not None:
