@@ -255,15 +255,60 @@ def _cubic_roots(a, b, c, d):
     return jnp.where((disc <= 0)[..., None], roots3, single)
 
 
+def _nullspace2_elim(A: jnp.ndarray):
+    """2-dim nullspace of batched [..., 7, 9] systems by Gauss-Jordan
+    elimination with partial row pivoting, fully unrolled (7 static
+    steps of elementwise/select ops).
+
+    TPU rationale: `eigh` on [B, 9, 9] normal matrices lowers to a
+    sequential QR-iteration loop per matrix (the F-sweep's dominant
+    cost on device); elimination is ~450 flops of pure VPU work per
+    sample.  Solutions are the reference's nullspace(A) semantics
+    (exp_ranF.c:907): basis vectors with free variables (x8, x9) set to
+    (1, 0) and (0, 1).  Near-singular systems (rank < 7) produce large/
+    non-finite entries that downstream nan_to_num + zero-norm rejection
+    discard, matching the reference's `nullsize != 2 -> continue`."""
+    batch_shape = A.shape[:-2]
+    M = A.reshape((-1, 7, 9))
+    B = M.shape[0]
+    rows = jnp.arange(7)
+    for k in range(7):
+        col = jnp.abs(M[:, :, k])
+        col = jnp.where(rows[None, :] >= k, col, -1.0)       # rows < k fixed
+        p = jnp.argmax(col, axis=1)                           # [B]
+        # swap rows k and p: perm[i] = p if i==k, k if i==p, else i
+        perm = jnp.broadcast_to(rows, (B, 7))
+        perm = jnp.where(rows[None, :] == k, p[:, None], perm)
+        perm = jnp.where(rows[None, :] == p[:, None],
+                         jnp.full((B, 7), k), perm)
+        # note order: the i==k assignment must survive when p == k
+        perm = jnp.where((rows[None, :] == k) & (p[:, None] == k),
+                         k, perm)
+        M = jnp.take_along_axis(M, perm[:, :, None], axis=1)
+        piv = M[:, k, k]
+        safe = jnp.where(jnp.abs(piv) < 1e-20,
+                         jnp.where(piv < 0, -1e-20, 1e-20), piv)
+        row_k = M[:, k, :] / safe[:, None]
+        fac = M[:, :, k]
+        elim = M - fac[:, :, None] * row_k[:, None, :]
+        M = jnp.where((rows == k)[None, :, None], row_k[:, None, :], elim)
+    # reduced form: x_j = -M[:, j, 7or8] for pivot columns, free var = 1
+    f1 = jnp.concatenate([-M[:, :, 7],
+                          jnp.ones((B, 1)), jnp.zeros((B, 1))], axis=1)
+    f2 = jnp.concatenate([-M[:, :, 8],
+                          jnp.zeros((B, 1)), jnp.ones((B, 1))], axis=1)
+    # normalize for numeric headroom in the cubic
+    f1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=1, keepdims=True), 1e-20)
+    f2 = f2 / jnp.maximum(jnp.linalg.norm(f2, axis=1, keepdims=True), 1e-20)
+    return (f1.reshape(batch_shape + (3, 3)),
+            f2.reshape(batch_shape + (3, 3)))
+
+
 def _fs_from_sample(xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
     """7-pt minimal solver: [...,7,2]x2 -> [...,3,3,3] (3 candidate F's,
     invalid ones NaN)."""
     A = f_rows(xy1s, xy2s)                       # [...,7,9]
-    AtA = jnp.einsum("...ri,...rj->...ij", A, A,
-                     precision=jax.lax.Precision.HIGHEST)
-    w, V = jnp.linalg.eigh(AtA)
-    F1 = V[..., :, 0].reshape(V.shape[:-2] + (3, 3))
-    F2 = V[..., :, 1].reshape(V.shape[:-2] + (3, 3))
+    F1, F2 = _nullspace2_elim(A)
 
     # det(F1 + a F2) = c3 a^3 + c2 a^2 + c1 a + c0 via 4-point interpolation
     def det(M):
@@ -281,13 +326,32 @@ def _fs_from_sample(xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
     return Fs
 
 
+def _epipole2_cross(F: jnp.ndarray) -> jnp.ndarray:
+    """Epipole in image 2 (null vector of F^T) without SVD: e is
+    orthogonal to the columns of F, so it is the largest of the three
+    pairwise column cross products.  Batched 3x3 SVD lowers to a
+    sequential per-matrix loop on TPU; three cross products are pure
+    VPU work (this runs per RANSAC candidate, ~10^4 per sweep)."""
+    c0 = F[..., :, 0]
+    c1 = F[..., :, 1]
+    c2 = F[..., :, 2]
+    e01 = jnp.cross(c0, c1)
+    e02 = jnp.cross(c0, c2)
+    e12 = jnp.cross(c1, c2)
+    n01 = jnp.sum(e01 * e01, -1, keepdims=True)
+    n02 = jnp.sum(e02 * e02, -1, keepdims=True)
+    n12 = jnp.sum(e12 * e12, -1, keepdims=True)
+    e = jnp.where(n01 >= jnp.maximum(n02, n12), e01,
+                  jnp.where(n02 >= n12, e02, e12))
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30)
+
+
 def _oriented_f_ok(F: jnp.ndarray, xy1s: jnp.ndarray, xy2s: jnp.ndarray) -> jnp.ndarray:
     """Oriented epipolar constraint (Ftools.c:82 all_ori_valid): the
     epipolar line orientations e x p2 ~ F p1 must have consistent sign
     across the sample."""
     # epipole in image 2: null vector of F^T
-    _, _, Vt = jnp.linalg.svd(F.swapaxes(-1, -2))
-    e = Vt[..., 2, :]
+    e = _epipole2_cross(F)
     p1h = jnp.concatenate([xy1s, jnp.ones_like(xy1s[..., :1])], -1)
     p2h = jnp.concatenate([xy2s, jnp.ones_like(xy2s[..., :1])], -1)
     l = jnp.einsum("...ij,...nj->...ni", F, p1h)        # F p1
