@@ -333,11 +333,20 @@ class Config:
     # pass, HIGHEST = 6 passes (tests/test_tpu_precision.py bounds the
     # difference end to end)
     patch_precision: str = "DEFAULT"
-    # trilinear mip blend in the descriptor resampler: True samples two
-    # pyramid levels and blends by log-sigma distance (closest to the
-    # reference's per-patch 1.5k blur); False samples the nearest level
-    # only — half the resample cost at a bounded AA-fidelity cost
-    mip_blend: bool = True
+    # anti-alias strategy of the descriptor resampler:
+    #   "topup"  — one level (matched to the least-stretched axis) plus
+    #              a per-keypoint patch-space top-up blur solved for the
+    #              most-stretched axis: reproduces the reference's
+    #              normalized-frame 1.5k blur (anisotropic in image
+    #              space) to O((lmin/lmax)^2)
+    #   "blend"  — trilinear two-level blend (isotropic image-space AA)
+    #   "single" — nearest level only (fastest, larger AA error)
+    mip_aa: str = "topup"
+    # jitter-averaged (TTA) HardNet descriptors: average the embeddings
+    # of K slightly perturbed frame samplings before quantizing (0/1 =
+    # single forward, reference-daemon behavior).  Recall robustness to
+    # frame-estimation noise at K extra forwards.
+    hardnet_tta: int = 0
     # padding caps for fixed-shape device code
     max_keypoints: int = 8192        # per (detector, view)
     max_octave_cands: int = 8192     # candidate extrema per octave

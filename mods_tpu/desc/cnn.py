@@ -162,6 +162,55 @@ _ORINET_SPEC = [s if s[0] != 19 else (19, "conv", 1, 1, False)
 
 
 @partial(jax.jit, static_argnames=())
+def hardnet_embed_raw(patches: jnp.ndarray, params) -> jnp.ndarray:
+    """[N,32,32] -> [N,128] L2-normalized embedding (+ optional trained
+    whitening), WITHOUT the daemon quantization — used by the
+    jitter-averaged (TTA) descriptor, which averages embeddings of
+    perturbed samplings before quantizing once."""
+    x = patches[:, None, :, :]
+    x = _input_norm(x)
+    x = _run_sequential(x, params, _HARDNET_SPEC)
+    x = x.reshape(x.shape[0], -1)
+    x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-10)
+    if "whiten" in params:
+        wp = params["whiten"]
+        x = jnp.dot(x - wp["mean"][None, :], wp["W"].T,
+                    precision=jax.lax.Precision.HIGHEST)
+        x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-10)
+    return x
+
+
+# TTA frame perturbations: (rotation deg, scale) pairs.  Index 0 is the
+# identity; cfg.hardnet_tta = K uses the first K entries.
+_TTA_AUGS = ((0.0, 1.0), (6.0, 1.0), (-6.0, 1.0), (0.0, 1.08),
+             (0.0, 0.93), (3.0, 1.05), (-3.0, 0.95))
+
+
+@partial(jax.jit, static_argnames=("patch_size", "precision", "tta",
+                                   "blend"))
+def _hardnet_tta_jit(pyr, xy, A, s, valid, mr_size, patch_size: int,
+                     params, precision: str, tta: int,
+                     blend: bool = True) -> jnp.ndarray:
+    """Jitter-averaged HardNet: average the L2-normalized embeddings of
+    `tta` slightly perturbed frame samplings (rotation/scale around the
+    estimated frame), renormalize, then quantize once.  Robustness to
+    frame-estimation noise — the measured recall bottleneck under
+    strong viewpoint change — at `tta` extra forwards."""
+    acc = None
+    for (deg, sc) in _TTA_AUGS[:max(tta, 1)]:
+        th = math.radians(deg)
+        c, sn = math.cos(th), math.sin(th)
+        R = jnp.asarray([[c, sn], [-sn, c]], jnp.float32) * sc
+        Ak = A @ R
+        p = _cnn_patches_jit(pyr, xy, Ak, s, valid, mr_size, patch_size,
+                             precision=precision, blend=blend)
+        e = hardnet_embed_raw(p, params)
+        acc = e if acc is None else acc + e
+    acc = acc / jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True) + 1e-10)
+    return jnp.clip(210.0 * (acc + 0.45), 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=())
 def hardnet_forward(patches: jnp.ndarray, params) -> jnp.ndarray:
     """[N,32,32] patches (0..255 float) -> [N,128] quantized descriptors.
 
@@ -351,10 +400,19 @@ def hardnet_describe(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         # on-device end to end: patches never leave the TPU
         if pyr is None:
             pyr = mip_pyramid(img)
+        tta = int(getattr(cfg, "hardnet_tta", 0))
+        if tta > 1:
+            d = np.asarray(_hardnet_tta_jit(
+                pyr, kp.xy, kp.A, kp.s, kp.valid, cfg.hardnet.mrSize,
+                cfg.hardnet.patchSize, params,
+                precision=cfg.patch_precision, tta=tta,
+                blend=getattr(cfg, "mip_aa", "topup")))
+            return np.where(np.asarray(kp.valid)[:, None], d,
+                            0.0).astype(np.float32)
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.hardnet.mrSize, cfg.hardnet.patchSize,
                                 precision=cfg.patch_precision,
-                                blend=getattr(cfg, "mip_blend", True))
+                                blend=getattr(cfg, "mip_aa", "topup"))
         d = np.asarray(hardnet_forward(pall, params))
         return np.where(np.asarray(kp.valid)[:, None], d, 0.0).astype(np.float32)
     p, valid = _cnn_patches(img, kp, cfg.hardnet.mrSize, cfg.hardnet.patchSize)
@@ -377,7 +435,7 @@ def affnet_adapt(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.affnet.mrSize, cfg.affnet.patchSize,
                                 precision=cfg.patch_precision,
-                                blend=getattr(cfg, "mip_blend", True))
+                                blend=getattr(cfg, "mip_aa", "topup"))
         abc_all = np.asarray(affnet_forward(pall, params))
         valid = np.asarray(kp.valid)
         abc = abc_all[valid]
@@ -415,7 +473,7 @@ def orinet_orient(img: jnp.ndarray, kp: Keypoints, cfg: Config,
         pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                                 cfg.orinet.mrSize, cfg.orinet.patchSize,
                                 precision=cfg.patch_precision,
-                                blend=getattr(cfg, "mip_blend", True))
+                                blend=getattr(cfg, "mip_aa", "topup"))
         yx_all = np.asarray(orinet_forward(pall, params))
         valid = np.asarray(kp.valid)
         yx = yx_all[valid]

@@ -48,7 +48,7 @@ def _affnet_jit(pyr, kp: Keypoints, cfg: Config, params, w: int, h: int
     pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                             cfg.affnet.mrSize, cfg.affnet.patchSize,
                             precision=cfg.patch_precision,
-                            blend=getattr(cfg, "mip_blend", True))
+                            blend=getattr(cfg, "mip_aa", "topup"))
     abc = affnet_forward(pall, params)
     A = jnp.stack([
         jnp.stack([abc[:, 0], jnp.zeros_like(abc[:, 0])], -1),
@@ -73,7 +73,7 @@ def _orinet_jit(pyr, kp: Keypoints, cfg: Config, params) -> Keypoints:
     pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                             cfg.orinet.mrSize, cfg.orinet.patchSize,
                             precision=cfg.patch_precision,
-                            blend=getattr(cfg, "mip_blend", True))
+                            blend=getattr(cfg, "mip_aa", "topup"))
     yx = orinet_forward(pall, params)
     angle = jnp.where(kp.valid, jnp.arctan2(yx[:, 0], yx[:, 1]), 0.0)
     ci = jnp.cos(angle)
@@ -122,7 +122,7 @@ def extract_deep_jit(img: jnp.ndarray, cfg: Config, max_kp: int,
     pall = _cnn_patches_jit(pyr, kp.xy, kp.A, kp.s, kp.valid,
                             cfg.hardnet.mrSize, cfg.hardnet.patchSize,
                             precision=cfg.patch_precision,
-                            blend=getattr(cfg, "mip_blend", True))
+                            blend=getattr(cfg, "mip_aa", "topup"))
     desc = hardnet_forward(pall, p_hard)
     desc = jnp.where(kp.valid[:, None], desc, 0.0)
     return Features(det=kp, reproj=kp, desc=desc)

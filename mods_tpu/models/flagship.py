@@ -77,7 +77,7 @@ def _describe_fast(pyr: jnp.ndarray, kp: Keypoints, cfg: Config) -> jnp.ndarray:
     mask = jnp.asarray(imops.circular_gauss_mask(ps))
     patches = pe.sample_patches(pyr, kp.xy, kp.A * (k * kp.s)[:, None, None],
                                 ps, valid=kp.valid,
-                                blend=getattr(cfg, "mip_blend", True))
+                                blend=getattr(cfg, "mip_aa", "topup"))
     if par.PEParam.photoNorm:
         patches = imops.photometric_normalize(patches, mask)
     return siftmod.describe_patches(patches, par)

@@ -67,13 +67,18 @@ def _chunked(f, n_args, n: int):
 
 
 # level metadata: absolute blur sigma and pixel spacing per level.
-# Half-octave spacing keeps the blur mismatch vs the reference's
-# per-patch 1.5*k Gaussian under ~+-19%.
-_LEVEL_SIGMAS = (0.5, 0.8, 1.13, 1.6, 2.26, 3.2, 4.52, 6.4, 9.05, 12.8, 18.1)
-_LEVEL_SPACING = (1, 1, 1, 1, 2, 2, 4, 4, 8, 8, 16)
+# Quarter-octave spacing keeps the blur mismatch vs the reference's
+# per-patch 1.5*k Gaussian under ~+-9% (half-octave's +-19% measurably
+# cost classic-config inliers through the device describe path: the
+# engine-path golden run scored 16-18 vs the reference sampler's 23).
+_LEVEL_SIGMAS = (0.5, 0.8, 0.95, 1.13, 1.35, 1.6, 1.9, 2.26, 2.69, 3.2,
+                 3.8, 4.52, 5.38, 6.4, 7.61, 9.05, 10.76, 12.8, 15.22, 18.1)
+_LEVEL_SPACING = (1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+                  2, 4, 4, 4, 4, 8, 8, 8, 8, 16)
 
 
-def build_mip_pyramid(img: jnp.ndarray, n_levels: int = 11) -> jnp.ndarray:
+def build_mip_pyramid(img: jnp.ndarray,
+                      n_levels: int = len(_LEVEL_SIGMAS)) -> jnp.ndarray:
     """[H,W] -> [L,H,W] anti-alias pyramid for patch sampling.
 
     Stand-in for the reference's per-patch smooth(sigma=1.5k)+subsample
@@ -122,19 +127,28 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
     """
     L, H, W = pyr.shape
     n = xy.shape[0]
-    c = out_size // 2
+    aa = {True: "blend", False: "single"}.get(blend, blend)
+    P_s = out_size
+    c = P_s // 2
     win = min(WIN, H, W)
     max_extent = (win - 4) / 2.0
     spacing_arr = jnp.asarray(_LEVEL_SPACING[:L], jnp.float32)
     sigma_arr = jnp.asarray(_LEVEL_SIGMAS[:L], jnp.float32)
 
-    def impl(xy, A, sig_t, live):
+    def impl(xy, A, sig_t, lmax, live):
         m = xy.shape[0]
         corn = jnp.stack([(A[:, :, 0] + A[:, :, 1]) * c,
                           (A[:, :, 0] - A[:, :, 1]) * c], -1)
         extent = jnp.max(jnp.abs(corn), axis=(1, 2)) + 2.0
         fit_bad = extent[:, None] / spacing_arr[None, :] > max_extent  # [m,L]
-        if mode == "antialias":
+        if mode == "antialias" and aa == "topup":
+            # round DOWN: the level must not exceed the small-axis blur
+            # target (the patch-space top-up can only ADD blur)
+            under = sigma_arr[None, :] <= sig_t[:, None] * 1.02
+            cost = jnp.where(under,
+                             sig_t[:, None] - sigma_arr[None, :],
+                             10.0 + sigma_arr[None, :] - sig_t[:, None])
+        elif mode == "antialias":
             cost = jnp.abs(jnp.log(sigma_arr[None, :] /
                                    jnp.maximum(sig_t, _LEVEL_SIGMAS[0])[:, None]))
         else:
@@ -142,7 +156,7 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                                     (m, L))
         cost = jnp.where(fit_bad, 1e9, cost)
         lev = jnp.argmin(cost, axis=1).astype(jnp.int32)
-        if mode == "antialias":
+        if mode == "antialias" and aa == "blend":
             # trilinear mip: also sample the next-coarser level and blend
             # by log-sigma distance to kill level-quantization error
             lev2 = jnp.clip(lev + 1, 0, L - 1)
@@ -204,7 +218,7 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                 # Config.patch_precision flips this to HIGHEST (covered
                 # by tests/test_tpu_precision.py on the TPU backend).
                 return pp.dma_hat_resample(
-                    pyr, lv, oyd, oxd, params, out_size,
+                    pyr, lv, oyd, oxd, params, P_s,
                     precision=getattr(jax.lax.Precision, precision))
 
             def crop(l, y0, x0):
@@ -221,9 +235,9 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
                     ox.astype(jnp.float32), oy.astype(jnp.float32),
                     lwv.astype(jnp.float32), lhv.astype(jnp.float32)], -1)
                 return pp.hat_resample(
-                    wins, params, out_size,
+                    wins, params, P_s,
                     precision=getattr(jax.lax.Precision, precision))
-            ii = jnp.arange(out_size, dtype=jnp.float32) - c
+            ii = jnp.arange(P_s, dtype=jnp.float32) - c
             jg, ig = jnp.meshgrid(ii, ii, indexing="ij")
             sx = scale_l[:, None, None]
             sh = shift_l[:, None, None]
@@ -240,23 +254,59 @@ def sample_patches(pyr: jnp.ndarray, xy: jnp.ndarray, A: jnp.ndarray,
             return _hat_resample(wins, px, py, inb)
 
         out_lo = level_sample(lev)
-        if mode == "antialias" and blend:
+        if mode == "antialias" and aa == "blend":
             out_hi = level_sample(lev2)
-            return (1.0 - wgt[:, None, None]) * out_lo + wgt[:, None, None] * out_hi
+            return ((1.0 - wgt[:, None, None]) * out_lo
+                    + wgt[:, None, None] * out_hi)
+        if mode == "antialias" and aa == "topup":
+            # patch-domain isotropic top-up blur, solved for the MOST
+            # stretched axis: the reference blurs the affine-NORMALIZED
+            # full-res patch isotropically (synth-detection.cpp:81
+            # gaussianBlurInplace(1.5*k) between the two interpolates),
+            # i.e. an A.A^T-shaped anisotropic blur in image space.  An
+            # isotropic patch-space sigma_p has image covariance
+            # sigma_p^2 * (A A^T); with the level matched to the small
+            # axis and sigma_p solving the large axis, the residual
+            # small-axis overshoot is O((lmin/lmax)^2).
+            sig_lev = sigma_arr[lev]
+            sp2 = ((1.5 * lmax) ** 2 + _LEVEL_SIGMAS[0] ** 2
+                   - sig_lev ** 2) / jnp.maximum(lmax * lmax, 1e-12)
+            sig_p = jnp.sqrt(jnp.clip(sp2, 1e-6, None))
+            r = jnp.arange(P_s, dtype=jnp.float32)
+            D2 = (r[None, :] - r[:, None]) ** 2                   # [P_s,P_s]
+            K = jnp.exp(-D2[None] / (2.0 * sig_p[:, None, None] ** 2))
+            K = jnp.where(D2[None] <= 25.0, K, 0.0)               # radius 5
+            K = K / jnp.maximum(jnp.sum(K, -1, keepdims=True), 1e-12)
+            blurred = jnp.einsum("mij,mjq->miq", K, out_lo)        # rows (y)
+            blurred = jnp.einsum("mpq,miq->mpi", blurred, K)       # cols (x)
+            return blurred
         return out_lo
 
+    # singular values of the step matrix A (image px per patch px):
+    # lmax/lmin shape the reference's normalized-frame 1.5*k blur
+    tr = jnp.sum(A * A, axis=(1, 2))
+    dt = jnp.abs(A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0])
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * dt * dt, 0.0))
+    lmax = jnp.sqrt(jnp.maximum((tr + disc) / 2.0, 1e-12))
+    lmin = jnp.maximum(dt / lmax, 1e-6)
     if sigma_target is None:
-        # isotropic pixel step of the patch (blur depends on det, not
-        # stretch — reference blurs by 1.5*k, synth-detection.hpp:211)
-        k_iso = jnp.sqrt(jnp.abs(A[:, 0, 0] * A[:, 1, 1]
-                                 - A[:, 0, 1] * A[:, 1, 0]) + 1e-12)
-        # total blur: inherent image sigma + the reference's 1.5*k
-        sigma_target = jnp.sqrt(_LEVEL_SIGMAS[0] ** 2 + (1.5 * k_iso) ** 2)
+        if aa == "topup" and mode == "antialias":
+            # level target: total blur needed along the LEAST stretched
+            # axis (top-up adds the rest along the stretched axis)
+            sigma_target = jnp.sqrt(_LEVEL_SIGMAS[0] ** 2
+                                    + (1.5 * lmin) ** 2)
+        else:
+            # isotropic pixel step of the patch (blur depends on det, not
+            # stretch — reference blurs by 1.5*k, synth-detection.hpp:211)
+            k_iso = jnp.sqrt(dt + 1e-12)
+            # total blur: inherent image sigma + the reference's 1.5*k
+            sigma_target = jnp.sqrt(_LEVEL_SIGMAS[0] ** 2
+                                    + (1.5 * k_iso) ** 2)
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
     else:
         valid = valid.astype(jnp.float32)
-    return _chunked(impl, 4, n)(xy, A, sigma_target, valid)
+    return _chunked(impl, 5, n)(xy, A, sigma_target, lmax, valid)
 
 
 @partial(jax.jit, static_argnames=("out_size",))

@@ -302,8 +302,8 @@ def extract_view(img_view: jnp.ndarray, H: np.ndarray, orig_w: int, orig_h: int,
                                         pyr=_pyr() if eng else None,
                                         use_engine=eng,
                                         precision=cfg.patch_precision,
-                                        blend=getattr(cfg, "mip_blend",
-                                                      True))
+                                        blend=getattr(cfg, "mip_aa",
+                                                      "topup"))
         elif desc_name in ("ZMQ", "HardNet", "HardNet++"):
             from .desc.cnn import hardnet_describe, _use_engine
             desc = hardnet_describe(img_view, kp_desc, cfg,

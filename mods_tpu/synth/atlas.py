@@ -264,7 +264,7 @@ def extract_step_atlas(img: jnp.ndarray, cfg: Config, det_name: str,
                          kp_rep2.valid)
         desc = _describe_sift_engine(pyr, kp_d.xy, kp_d.A, kp_d.s,
                                      kp_d.valid, par,
-                                     blend=getattr(cfg, "mip_blend", True))
+                                     blend=getattr(cfg, "mip_aa", "topup"))
         by_desc[desc_name] = Features(det=kp_d, reproj=kp_rep2,
                                       desc=jnp.asarray(desc))
         if tl is not None:
