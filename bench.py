@@ -65,6 +65,7 @@ def main():
     imgs1 = jnp.asarray(np.stack([variants1[b % 4] for b in range(BATCH)]))
     imgs2 = jnp.asarray(np.stack([variants2[b % 4] for b in range(BATCH)]))
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(BATCH, dtype=jnp.uint32))
+    fnB = match_pairs_fn(cfg, max_kp=max_kp)
 
     out = fnB(imgs1, imgs2, keys)
     _ = int(out[1][0])            # warm-up + forced sync
@@ -157,20 +158,42 @@ def main():
 
     # F-path verification rows (BASELINE.json configs 3-4): DEGENSAC-F
     # and ORSA on the classic wide-baseline pair.  graf is planar — the
-    # degeneracy-handling path is exactly what gets exercised.
+    # degeneracy-handling path is exactly what gets exercised.  The _ms
+    # figures time the VERIFICATION stage alone (reference RANSAC
+    # timings are per-stage too, README.md:112), on the tentative set
+    # captured from the full run.
     fpath = {}
     try:
-        from mods_tpu.twoview import match_images as _mi
+        import mods_tpu.twoview as _tv
         ccfg = load_config("/root/reference/build/config_affori_classic.ini",
                            "/root/reference/build/iters_HessianSIFT.ini")
         img1g = np.asarray(i1)
         img2g = np.asarray(i2)
-        for ver, tag in (("LORANSACF", "degensac_f"), ("ORSA", "orsa")):
-            _ = _mi(img1g, img2g, ccfg, ver_type=ver)   # warm-up
-            t0 = time.time()
-            rf = _mi(img1g, img2g, ccfg, ver_type=ver)
-            fpath[f"{tag}_inliers"] = rf.inliers
-            fpath[f"{tag}_ms"] = round((time.time() - t0) * 1000.0, 1)
+        cap = {}
+        orig_f = _tv.loransac_f
+
+        def _spy(t, pars, key=None):
+            cap["t"] = t
+            return orig_f(t, pars, key)
+        _tv.loransac_f = _spy
+        rf = _tv.match_images(img1g, img2g, ccfg, ver_type="LORANSACF")
+        _tv.loransac_f = orig_f
+        fpath["degensac_f_inliers"] = rf.inliers
+        tcap = cap["t"]
+        _ = _tv.loransac_f(tcap, ccfg.ransac)            # warm-up
+        t0 = time.time()
+        mrf = _tv.loransac_f(tcap, ccfg.ransac)
+        _ = int(mrf.n_inliers)
+        fpath["degensac_f_ms"] = round((time.time() - t0) * 1000.0, 1)
+
+        from mods_tpu.verify.orsa import orsa_filter
+        h_im, w_im = img1g.shape
+        _ = orsa_filter(tcap, ccfg.ransac, w_im, h_im)   # warm-up
+        t0 = time.time()
+        mro = orsa_filter(tcap, ccfg.ransac, w_im, h_im)
+        n_orsa = int(mro.n_inliers)
+        fpath["orsa_inliers"] = n_orsa
+        fpath["orsa_ms"] = round((time.time() - t0) * 1000.0, 1)
     except Exception as e:
         fpath = {"fpath_error": str(e)[:120]}
 

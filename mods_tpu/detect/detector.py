@@ -162,7 +162,23 @@ def _select_sort_jit(kp: Keypoints, max_kp: int, mode: str, threshold: float,
     mag = jnp.where(kp.valid, jnp.abs(kp.response), -1.0)
     k = min(max_kp, n)
     vals, idx = jax.lax.top_k(mag, k)
-    out = kp.take(idx, extra_valid=vals >= 0.0)
+    # row selection as a one-hot MXU contraction: narrow-row gathers
+    # (xy [n,2], A [n,2,2]) lower to slow per-element loops on TPU and
+    # cost ~28 ms at n~8k in the fused detect program; the [k,n] one-hot
+    # matmul is ~0.3 ms.  Finiteness invariant: rejected/padding rows
+    # carry LARGE but finite values (the Baumberg kernel only ever
+    # writes accepted finite U's; localization clamps), so 0*x = 0 keeps
+    # the contraction exact — no masking needed here (a pre-contraction
+    # jnp.where on the packed matrix measurably serialized the fused
+    # program, +28 ms), and the final sanitize() replaces whatever the
+    # one-hot selected from invalid rows.
+    packed = jnp.concatenate([kp.xy, kp.A.reshape(n, 4),
+                              kp.s[:, None], kp.response[:, None]], axis=1)
+    onehot = (idx[:, None] ==
+              jnp.arange(n, dtype=idx.dtype)[None, :]).astype(jnp.float32)
+    sel = jnp.dot(onehot, packed, precision=jax.lax.Precision.HIGHEST)
+    out = Keypoints(xy=sel[:, 0:2], A=sel[:, 2:6].reshape(k, 2, 2),
+                    s=sel[:, 6], response=sel[:, 7], valid=vals >= 0.0)
     if mode == "FixedTh":
         return out.sanitize()
     count = jnp.sum(out.valid)

@@ -591,11 +591,20 @@ def loransac_f(t: Tentatives, pars: RANSACPars, key=None) -> MatchResult:
     keep = inl
     if pars.LAFCoef > 0:
         laf_th = jnp.float32(pars.LAFCoef * pars.err_threshold)
-        t_inl = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1,
-                           t.d2, t.ratio, inl)
-        keep = _laf_check_f(t_inl, F, laf_th)
-        keep = keep & (jnp.sum(keep) >= MIN_POINTS)
+        keep, _n = _laf_tail_jit(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2,
+                                 t.ratio, inl, F, laf_th)
     t_out = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
                        t.ratio, keep)
     return MatchResult(tentatives=t_out, H=F, n_inliers=t_out.count(),
                        score=J.astype(jnp.float32))
+
+
+@jax.jit
+def _laf_tail_jit(xy1, xy2, A1, A2, s1, s2, ratio, inl, F, laf_th):
+    """F-LAF check + MIN_POINTS gate fused into one dispatch (bare jnp
+    ops each cost a ~33 ms relay round trip)."""
+    dummy = jnp.zeros((xy1.shape[0], 1), jnp.float32)
+    t_inl = Tentatives(xy1, xy2, A1, A2, s1, s2, dummy, dummy, ratio, inl)
+    keep = _laf_check_f(t_inl, F, laf_th)
+    keep = keep & (jnp.sum(keep) >= MIN_POINTS)
+    return keep, jnp.sum(keep)

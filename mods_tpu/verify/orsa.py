@@ -155,6 +155,24 @@ def _orsa_core(xy1, xy2, valid, w, h, key, batch: int):
     return F_px, inliers, best_nfa
 
 
+@partial(jax.jit, static_argnames=("batch", "do_laf"))
+def _orsa_full(xy1, xy2, A1, A2, s1, s2, ratio, valid, w, h, key,
+               batch: int, laf_th, nfa_max, do_laf: bool):
+    """Core + acceptance gate + F-LAF check as ONE program (each bare
+    jnp op outside jit is a separate ~33 ms dispatch through the
+    single-chip relay — the un-fused wrapper cost 700+ ms of pure
+    dispatch overhead on a 5 ms core)."""
+    F, inl, nfa = _orsa_core(xy1, xy2, valid, w, h, key, batch)
+    keep = inl & (nfa < nfa_max)
+    if do_laf:
+        dummy = jnp.zeros((xy1.shape[0], 1), jnp.float32)
+        t_inl = Tentatives(xy1, xy2, A1, A2, s1, s2, dummy, dummy,
+                           ratio, keep)
+        keep = _laf_check_f(t_inl, F, laf_th)
+        keep = keep & (jnp.sum(keep) >= MIN_POINTS)
+    return F, keep, jnp.sum(keep), nfa
+
+
 def orsa_filter(t: Tentatives, pars: RANSACPars, w: int, h: int,
                 key=None, nfa_max: float = -2.0) -> MatchResult:
     """ORSAFiltering (matching.cpp:825-915): run ORSA; if the match is
@@ -165,17 +183,12 @@ def orsa_filter(t: Tentatives, pars: RANSACPars, w: int, h: int,
     # the reference samples 10000 iterations sequentially (orsa.cpp:523);
     # two batches of >=4096 hypotheses give a comparable search budget
     batch = max(pars.batch_hypotheses, 4096)
-    F, inl, nfa = _orsa_core(t.xy1, t.xy2, t.valid, float(w), float(h), key,
-                             batch)
-    significant = nfa < nfa_max
-    keep = inl & significant
-    if pars.LAFCoef > 0:
-        laf_th = jnp.float32(pars.LAFCoef * pars.err_threshold)
-        t_inl = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1,
-                           t.d2, t.ratio, keep)
-        keep = _laf_check_f(t_inl, F, laf_th)
-        keep = keep & (jnp.sum(keep) >= MIN_POINTS)
+    F, keep, n_keep, nfa = _orsa_full(
+        t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.ratio, t.valid,
+        jnp.float32(w), jnp.float32(h), key, batch,
+        jnp.float32(pars.LAFCoef * pars.err_threshold),
+        jnp.float32(nfa_max), bool(pars.LAFCoef > 0))
     t_out = Tentatives(t.xy1, t.xy2, t.A1, t.A2, t.s1, t.s2, t.d1, t.d2,
                        t.ratio, keep)
-    return MatchResult(tentatives=t_out, H=F, n_inliers=t_out.count(),
+    return MatchResult(tentatives=t_out, H=F, n_inliers=n_keep,
                        score=-nfa.astype(jnp.float32))
