@@ -131,7 +131,7 @@ def main():
         }
         from mods_tpu.models.deep import (match_pair_deep_fn,
                                           match_pairs_deep_fn)
-        DB = 4
+        DB = 8
         dkp = dcfg.max_keypoints
         dfn1 = match_pair_deep_fn(dcfg, max_kp=dkp)
         out = dfn1(i1, i2, jax.random.PRNGKey(0))
@@ -180,7 +180,8 @@ def main():
         _tv.loransac_f = orig_f
         fpath["degensac_f_inliers"] = rf.inliers
         tcap = cap["t"]
-        _ = _tv.loransac_f(tcap, ccfg.ransac)            # warm-up
+        _ = int(_tv.loransac_f(tcap, ccfg.ransac).n_inliers)   # warm-up x2
+        _ = int(_tv.loransac_f(tcap, ccfg.ransac).n_inliers)
         t0 = time.time()
         mrf = _tv.loransac_f(tcap, ccfg.ransac)
         _ = int(mrf.n_inliers)
@@ -188,7 +189,10 @@ def main():
 
         from mods_tpu.verify.orsa import orsa_filter
         h_im, w_im = img1g.shape
-        _ = orsa_filter(tcap, ccfg.ransac, w_im, h_im)   # warm-up
+        # two warm-ups: the first compile's async persistent-cache write
+        # can land in the next call and distort it
+        _ = int(orsa_filter(tcap, ccfg.ransac, w_im, h_im).n_inliers)
+        _ = int(orsa_filter(tcap, ccfg.ransac, w_im, h_im).n_inliers)
         t0 = time.time()
         mro = orsa_filter(tcap, ccfg.ransac, w_im, h_im)
         n_orsa = int(mro.n_inliers)
